@@ -1,0 +1,55 @@
+package graft.rules
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.regex.{Pattern, PatternSyntaxException}
+
+/**
+ * POSIX-ERE-compatible regex support on the JVM.
+ *
+ * The reference validates `pattern` / `format` with POSIX extended regexes
+ * compiled REG_EXTENDED|REG_NOSUB and matched with an UNANCHORED search
+ * (json_schema_validate.c:188, :963-989). Java regex is a superset of ERE for
+ * the constructs the reference's tests use, except POSIX bracket classes
+ * ([:alpha:] etc.), which we translate. Matching uses Matcher.find() to mirror
+ * regexec's substring search.
+ *
+ * Compiled patterns are memoized JVM-wide — the analogue of the reference's
+ * session regex cache (json_schema_validate.c:81-92,143-199), minus its
+ * 256-byte key-truncation bug (deliberately not reproduced, SURVEY.md §4).
+ * Invalid patterns are cached as None: the reference silently skips checks
+ * whose pattern fails to compile (json_schema_validate.c:972).
+ */
+object PosixRegex {
+  private val cache = new ConcurrentHashMap[String, Option[Pattern]]()
+
+  private val posixClasses = Map(
+    "alpha" -> "\\p{Alpha}", "digit" -> "\\p{Digit}", "alnum" -> "\\p{Alnum}",
+    "upper" -> "\\p{Upper}", "lower" -> "\\p{Lower}", "space" -> "\\s",
+    "blank" -> "\\p{Blank}", "punct" -> "\\p{Punct}", "cntrl" -> "\\p{Cntrl}",
+    "xdigit" -> "\\p{XDigit}", "print" -> "\\p{Print}", "graph" -> "\\p{Graph}")
+
+  /** Translate POSIX bracket classes to Java regex equivalents. */
+  def translate(posix: String): String = {
+    var out = posix
+    posixClasses.foreach { case (name, repl) =>
+      out = out.replace(s"[:$name:]", repl)
+    }
+    out
+  }
+
+  def compile(posix: String): Option[Pattern] = {
+    val cached = cache.get(posix)
+    if (cached != null) return cached
+    val result =
+      try Some(Pattern.compile(translate(posix)))
+      catch { case _: PatternSyntaxException => None }
+    cache.putIfAbsent(posix, result)
+    result
+  }
+
+  /** Unanchored search, like regexec. None = invalid pattern (caller skips check). */
+  def find(posix: String, s: String): Option[Boolean] =
+    compile(posix).map(_.matcher(s).find())
+
+  def isValid(posix: String): Boolean = compile(posix).isDefined
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 made these conversions private[sql]
+  * (org.apache.spark.sql.classic.ExpressionUtils); this shim re-exports the
+  * two methods needed to expose custom Catalyst expressions as Columns. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
