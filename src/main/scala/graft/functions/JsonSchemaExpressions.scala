@@ -113,8 +113,22 @@ case class JsonSchemaValidateText(doc: Expression, schema: Expression) extends J
     copy(doc = l, schema = r)
 }
 
+/** format:"regex" support (json_schema_validate.c:1816-1829): true iff the
+  * string value compiles as a regex. The one check not expressible with
+  * built-ins (SURVEY.md §2.5 "UDF/UDAF surface"). */
+case class RegexIsValid(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "regex_is_valid"
+  override def nullSafeEval(v: Any): Any =
+    graft.rules.PosixRegex.isValid(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object functions {
   import org.apache.spark.sql.graftshim.Bridge.{column, expression}
+
+  def regex_is_valid(c: Column): Column = column(RegexIsValid(expression(c)))
 
   /** Column API, mirroring the reference's is_valid/validate/compiled entry points. */
   def jsonschema_is_valid(doc: Column, schema: Column): Column =

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import graft.json._
+import graft.rules.SuiteCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/**
+ * Checkpoint manifest: per-partition lineage (snapshot-id, rule-set hash) +
+ * metrics, written atomically (tmp + rename) after each completed batch, so a
+ * killed run resumes validating only unfinished partitions (north_rule).
+ * The stored rule-set hash also pins WHICH suite validated each partition —
+ * a changed suite invalidates prior completions (the analogue of storing
+ * jsonschema_compiled values, json_schema_validate--0.1.0.sql:37-56).
+ */
+final case class PartitionEntry(part: Int, nRows: Long, nViolations: Long,
+                                passAll: Boolean)
+
+final class Manifest(val snapshotId: String, val ruleSetHash: String,
+                     val entries: Map[Int, PartitionEntry]) {
+  def isDone(part: Int): Boolean = entries.contains(part)
+  def withEntries(es: Seq[PartitionEntry]): Manifest =
+    new Manifest(snapshotId, ruleSetHash, entries ++ es.map(e => e.part -> e))
+
+  def toJson: String = {
+    val parts = entries.values.toSeq.sortBy(_.part).map { e =>
+      s"""{"part":${e.part},"nRows":${e.nRows},"nViolations":${e.nViolations},"passAll":${e.passAll}}"""
+    }.mkString("[", ",", "]")
+    s"""{"snapshotId":"$snapshotId","ruleSetHash":"$ruleSetHash","partitions":$parts}"""
+  }
+}
+
+object Manifest {
+  def empty(snapshotId: String, ruleSetHash: String): Manifest =
+    new Manifest(snapshotId, ruleSetHash, Map.empty)
+
+  /** Load if present AND lineage matches; otherwise start fresh (a changed
+    * snapshot or rule set must re-validate everything). */
+  def loadOrEmpty(path: String, snapshotId: String, ruleSetHash: String): Manifest = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return empty(snapshotId, ruleSetHash)
+    Json.parseOpt(new String(Files.readAllBytes(p), "UTF-8")) match {
+      case Some(o: JObj) =>
+        val snap = o.get("snapshotId").collect { case JStr(s) => s }.getOrElse("")
+        val hash = o.get("ruleSetHash").collect { case JStr(s) => s }.getOrElse("")
+        if (snap != snapshotId || hash != ruleSetHash) empty(snapshotId, ruleSetHash)
+        else {
+          val es = o.get("partitions") match {
+            case Some(JArr(xs)) => xs.collect { case e: JObj =>
+              def num(k: String) = e.get(k).collect { case JNum(n) => n.toLong }.getOrElse(0L)
+              val part = num("part").toInt
+              part -> PartitionEntry(part, num("nRows"), num("nViolations"),
+                e.get("passAll").collect { case JBool(b) => b }.getOrElse(false))
+            }.toMap
+            case _ => Map.empty[Int, PartitionEntry]
+          }
+          new Manifest(snapshotId, ruleSetHash, es)
+        }
+      case _ => empty(snapshotId, ruleSetHash)
+    }
+  }
+
+  /** Atomic write: tmp file + ATOMIC_MOVE rename. */
+  def save(m: Manifest, path: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, m.toJson.getBytes("UTF-8"))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/**
+ * Partition-orchestrated validation run (SURVEY.md §7 M4):
+ * per batch of Iceberg-style partitions — filter prunes the parquet scan to
+ * just those partitions — compute per-partition verdicts + violation rows,
+ * write violations partitioned by `part`, then checkpoint the manifest.
+ * Global rules (doc_id uniqueness crosses partitions) run once per snapshot.
+ */
+object ValidationPipeline {
+
+  final case class RunResult(verdicts: Seq[PartitionEntry], resumedSkipped: Int,
+                             globalDuplicateKeys: Long)
+
+  def run(spark: SparkSession, corpusPath: String, suiteJson: String,
+          outDir: String, snapshotId: String, batchSize: Int = 4,
+          keyCol: String = "doc_id"): RunResult = {
+    val compiled = SuiteCompiler.compile(suiteJson)
+    val manifestPath = s"$outDir/manifest.json"
+    var manifest = Manifest.loadOrEmpty(manifestPath, snapshotId, compiled.suiteHash)
+
+    val corpus = spark.read.parquet(corpusPath)
+    val allParts = corpus.select("part").distinct().collect().map(_.getInt(0)).sorted
+    val todo = allParts.filterNot(manifest.isDone)
+    val skipped = allParts.length - todo.length
+
+    todo.grouped(batchSize).foreach { batch =>
+      // partition pruning: `part` is the parquet partition column, so this
+      // filter never reads the other partitions' files
+      val slice = corpus.where(col("part").isin(batch.map(Integer.valueOf): _*))
+      val verdictRows = compiled.verdicts(slice, Seq("part")).collect()
+
+      compiled.violations(slice, keyCol)
+        .write.mode("append").parquet(s"$outDir/violations")
+
+      val entries = verdictRows.map { r =>
+        PartitionEntry(
+          part = r.getAs[Int]("part"),
+          nRows = r.getAs[Long]("n_rows"),
+          nViolations = r.getAs[Long]("n_violations"),
+          passAll = r.getAs[Boolean]("pass_all"))
+      }
+      manifest = manifest.withEntries(entries.toIndexedSeq)
+      Manifest.save(manifest, manifestPath) // checkpoint after each batch
+    }
+
+    // global (cross-partition) rule: doc_id uniqueness, salted two-phase
+    val dupCount = TableChecks.duplicates(corpus, keyCol).count()
+
+    RunResult(manifest.entries.values.toSeq.sortBy(_.part), skipped, dupCount)
+  }
+}

@@ -287,6 +287,9 @@ object JsonSchemaValidator {
     "uuid"      -> ("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
                     "String does not match UUID format"))
 
+  /** Expose a named format's (POSIX pattern, error message) for the Column compiler. */
+  def formatPattern(name: String): Option[(String, String)] = formatTable.get(name)
+
   private def checkFormat(str: String, formatVal: JVal, path: String,
                           errors: ArrayBuffer[Violation]): Boolean = formatVal match {
     case JStr("regex") =>

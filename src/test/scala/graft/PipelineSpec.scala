@@ -1,0 +1,153 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.pipeline.{Manifest, TableChecks, ValidationPipeline}
+import graft.rules.SuiteCompiler
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SuiteCompilerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val suite: String =
+    """{
+      | "$defs": { "tokenRange": { "minimum": 0, "exclusiveMaximum": 50257 } },
+      | "rules": {
+      |   "doc_id": { "type": "string", "required": true, "pattern": "^doc-[0-9]{12}$" },
+      |   "tokens": { "type": "array", "minItems": 1, "maxItems": 512,
+      |               "items": { "$ref": "#/$defs/tokenRange" } },
+      |   "n_tok":  { "type": "integer", "minimum": 1, "maximum": 513,
+      |               "equalsExpr": "size(tokens)" },
+      |   "source": { "enum": ["web", "books", "code", "wiki"] }
+      | }
+      |}""".stripMargin
+
+  test("clean corpus passes every rule") {
+    val df = CorpusGen.generate(spark, CorpusGen.Config(rows = 2000))
+    val compiled = SuiteCompiler.compile(suite)
+    val verdict = compiled.verdicts(df, Seq("part")).collect()
+    assert(verdict.length === 8)
+    assert(verdict.forall(_.getAs[Boolean]("pass_all")))
+    assert(compiled.violations(df, "doc_id").count() === 0)
+  }
+
+  test("injected violations are caught with reference message formats") {
+    val df = CorpusGen.generate(spark, CorpusGen.Config(rows = 1000,
+      badSourceEvery = 100, badTokenEvery = 157, badNtokEvery = 211))
+    val compiled = SuiteCompiler.compile(suite)
+    val v = compiled.violations(df, "doc_id").collect()
+    assert(v.nonEmpty)
+    val bySrc = v.filter(_.getAs[String]("rule_id") == "source:enum")
+    assert(bySrc.length === 9) // rows 100,200,...,900
+    assert(bySrc.forall(_.getAs[String]("observed") == "Value not in enum"))
+    val byTok = v.filter(_.getAs[String]("rule_id").contains("items"))
+    assert(byTok.nonEmpty)
+    assert(byTok.exists(_.getAs[String]("observed") == "Value must be less than exclusiveMaximum"))
+    val byN = v.filter(_.getAs[String]("rule_id") == "n_tok:equalsExpr")
+    assert(byN.nonEmpty)
+    // deterministic ordering contract: (doc_id, rule_id)
+    val keys = v.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys === keys.sorted)
+  }
+
+  test("isValidCol agrees with the row-scalar walker on corpus-shaped JSON docs") {
+    // cross-check: serialize corpus rows to JSON and validate with the dynamic
+    // engine using an equivalent JSON Schema — the two paths must agree per row.
+    val df = CorpusGen.generate(spark, CorpusGen.Config(rows = 300,
+      badSourceEvery = 41, badTokenEvery = 67, badNtokEvery = 0))
+    val compiled = SuiteCompiler.compile(suite)
+    val jsonSchema =
+      """{"type":"object",
+        |  "properties":{
+        |    "doc_id":{"type":"string","pattern":"^doc-[0-9]{12}$"},
+        |    "tokens":{"type":"array","minItems":1,"maxItems":512,
+        |              "items":{"minimum":0,"exclusiveMaximum":50257}},
+        |    "n_tok":{"type":"integer","minimum":1,"maximum":513},
+        |    "source":{"enum":["web","books","code","wiki"]}},
+        |  "required":["doc_id","tokens","n_tok","source"]}""".stripMargin
+    import graft.functions.functions._
+    val both = df
+      .withColumn("columnar", compiled.isValidCol)
+      .withColumn("dynamic", jsonschema_is_valid(to_json(struct(col("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))), jsonSchema))
+    val disagree = both.where(col("columnar") =!= col("dynamic")).count()
+    assert(disagree === 0)
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val suite: String =
+    """{ "rules": {
+      |   "doc_id": { "required": true, "pattern": "^doc-[0-9]{12}$" },
+      |   "n_tok":  { "minimum": 1, "equalsExpr": "size(tokens)" },
+      |   "source": { "enum": ["web", "books", "code", "wiki"] }
+      |}}""".stripMargin
+
+  test("table checks: stats, duplicates (salted), referential, histogram, drift") {
+    import spark.implicits._
+    val df = CorpusGen.generate(spark, CorpusGen.Config(rows = 3000, dupEvery = 300,
+      badSourceEvery = 500))
+    val stats = TableChecks.columnStats(df, Seq("n_tok", "source")).collect()(0)
+    assert(stats.getAs[Long]("n_rows") === 3000)
+    assert(stats.getAs[Double]("source_null_rate") === 0.0)
+
+    val dups = TableChecks.duplicates(df, "doc_id").collect()
+    assert(dups.length === 9) // rows 300,600,...,2700 share prior id
+    assert(dups.forall(_.getAs[Long]("cnt") === 2))
+
+    val dim = Seq("web", "books", "code", "wiki").toDF("value")
+    val bad = TableChecks.referentialViolations(df, "source", dim, "value")
+    assert(bad.count() === 5) // rows 500..2500 step 500 → BADSRC
+    assert(bad.select("source").distinct().collect().map(_.getString(0)).toSeq === Seq("BADSRC"))
+
+    val h1 = TableChecks.histogram(df, "n_tok", 1, 513, 64)
+    assert(h1.agg(sum("cnt")).collect()(0).getLong(0) === 3000)
+    // undrifted generator vs itself at a different size → tiny PSI/KS
+    val df2 = CorpusGen.generate(spark, CorpusGen.Config(rows = 2000, seed = 43))
+    val h2 = TableChecks.histogram(df2, "n_tok", 1, 513, 64)
+    val drift = TableChecks.drift(h1, h2, 64)
+    assert(drift.psi < 0.1, s"psi=${drift.psi}")
+    assert(drift.ks < 0.05, s"ks=${drift.ks}")
+    // drifted variant (shifted n_tok) must trip the detector
+    val df3 = df2.withColumn("n_tok", col("n_tok") / 2)
+    val h3 = TableChecks.histogram(df3, "n_tok", 1, 513, 64)
+    assert(TableChecks.drift(h1, h3, 64).psi > 0.5)
+  }
+
+  test("pipeline run writes manifest + violations and resumes from checkpoint") {
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    val corpusPath = s"$dir/corpus"
+    val outDir = s"$dir/out"
+    val df = CorpusGen.generate(spark, CorpusGen.Config(rows = 2000,
+      numPartitions = 8, badSourceEvery = 250))
+    CorpusGen.writePartitioned(df, corpusPath)
+
+    val r1 = ValidationPipeline.run(spark, corpusPath, suite, outDir, "snap-1")
+    assert(r1.verdicts.length === 8)
+    assert(r1.resumedSkipped === 0)
+    assert(r1.verdicts.map(_.nRows).sum === 2000)
+    assert(r1.verdicts.count(!_.passAll) > 0) // BADSRC partitions fail
+    assert(r1.globalDuplicateKeys === 0)
+
+    // resume: everything already checkpointed → all partitions skipped
+    val r2 = ValidationPipeline.run(spark, corpusPath, suite, outDir, "snap-1")
+    assert(r2.resumedSkipped === 8)
+
+    // new snapshot id → full re-validation
+    val r3 = ValidationPipeline.run(spark, corpusPath, suite, s"$dir/out3", "snap-2")
+    assert(r3.resumedSkipped === 0)
+
+    // violations landed as parquet with the typed schema
+    val v = spark.read.parquet(s"$outDir/violations")
+    assert(v.columns.toSeq === Seq("doc_id", "rule_id", "observed", "expected"))
+    assert(v.count() === 7) // rows 250,500,…,1750 carry BADSRC
+
+    // manifest is valid JSON with lineage
+    val m = Manifest.loadOrEmpty(s"$outDir/manifest.json", "snap-1",
+      SuiteCompiler.compile(suite).suiteHash)
+    assert(m.entries.size === 8)
+  }
+}
