@@ -1,13 +1,479 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.TableChecks
+import graft.rules.SuiteCompiler
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Driver contract (SURVEY.md §7): every operator from the inventory gets a
+ * named query over the shared testdata parquet tables plus equivalent DuckDB
+ * oracle SQL. Computed columns are aliased identically on both sides and cast
+ * to exact types (BIGINT / DECIMAL) so cross-engine hashes match; every result
+ * is deterministically ordered.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** ValidationSuite over the documents table (the reference's keyword set
+    * applied to typed columns; two rules fire on real data). */
+  val documentsSuite: String =
+    """{ "rules": {
+      |  "doc_id":  { "required": true },
+      |  "lang":    { "enum": ["de","en","es","fr","zh"] },
+      |  "source":  { "pattern": "^src[0-9]+$" },
+      |  "n_chars": { "type": "integer", "minimum": 1, "maximum": 300 },
+      |  "text":    { "minLength": 50 }
+      |}}""".stripMargin
+
+  private val eventsPropsSchema =
+    """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}"""
+
+  /** Flagship: typed ViolationRow output of the documents suite at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    SuiteCompiler.compile(documentsSuite)
+      .violations(t("/root/testdata/sf0.001", "documents"), "doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- validation engine over documents -------------------------------
+    "v_is_valid_counts" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      val compiled = SuiteCompiler.compile(documentsSuite)
+      t(dir, "documents")
+        .groupBy(compiled.isValidCol.as("valid"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("valid")
+    }),
+
+    "v_violations" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      SuiteCompiler.compile(documentsSuite).violations(t(dir, "documents"), "doc_id")
+    }),
+
+    "v_stats" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        min("n_chars").cast(LongType).as("n_chars_min"),
+        max("n_chars").cast(LongType).as("n_chars_max"),
+        countDistinct("lang").as("langs"),
+        countDistinct("source").as("sources"),
+        sum(octet_length(col("text"))).cast(LongType).as("text_bytes"))
+    }),
+
+    "v_unique_dups" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      TableChecks.duplicates(t(dir, "events"), "user_id")
+        .select(col("user_id"), col("cnt").cast(LongType).as("cnt"))
+        .orderBy("user_id")
+    }),
+
+    "v_referential" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      val dim = t(dir, "customer").where(col("c_custkey") < 10).select("c_custkey")
+      TableChecks.referentialViolations(t(dir, "events"), "user_id", dim, "c_custkey")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    "v_histogram" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      TableChecks.histogram(t(dir, "documents"), "n_chars", 0, 640, 16)
+        .select(col("bucket"), col("cnt"))
+        .orderBy("bucket")
+    }),
+
+    "v_drift_ks" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      // two-sample KS as an exact integer numerator: max |cumA*totB - cumB*totA|
+      val docs = t(dir, "documents")
+      val bucket = least(greatest(floor(col("n_chars") / 40), lit(0)), lit(15)).cast(IntegerType)
+      val h = docs.groupBy(bucket.as("bucket")).agg(
+        count(when(col("lang") === "en", 1)).as("ca"),
+        count(when(col("lang") =!= "en", 1)).as("cb"))
+      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      h.select(col("bucket"),
+          sum("ca").over(w).as("cumA"), sum("cb").over(w).as("cumB"),
+          sum("ca").over(tot).as("totA"), sum("cb").over(tot).as("totB"))
+        .agg(max(abs(col("cumA") * col("totB") - col("cumB") * col("totA"))).as("ks_num"),
+          max("totA").cast(LongType).as("tot_a"), max("totB").cast(LongType).as("tot_b"))
+    }),
+
+    "v_verdict_by_source" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "documents").groupBy("source").agg(
+        bool_and(col("n_chars") <= 300).as("pass_max"),
+        bool_and(octet_length(col("text")) >= 50).as("pass_minlen"),
+        count(when(col("n_chars") > 300, 1)).as("n_violations"),
+        count(lit(1)).as("n_rows"))
+        .orderBy("source")
+    }),
+
+    // ---- dynamic JSON validation (the reference's scalar API) ------------
+    "v_json_valid" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      import graft.functions.functions._
+      t(dir, "events")
+        .select(col("event_id"), jsonschema_is_valid(col("props"), eventsPropsSchema).as("valid"))
+        .orderBy("event_id")
+    }),
+
+    "v_json_violations" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      import graft.functions.functions._
+      t(dir, "events")
+        .select(col("event_id"), explode(jsonschema_violations(col("props"), eventsPropsSchema)).as("v"))
+        .select(col("event_id"), col("v.path").as("path"), col("v.message").as("message"))
+        .orderBy("event_id", "path")
+    }),
+
+    // ---- relational operator checklist (SURVEY.md §2.5) ------------------
+    "q1_pricing" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(BigDecimal(1).underlying).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_top_orders" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      val cust = t(dir, "customer").where(col("c_custkey") % 10 === 0)
+      val orders = t(dir, "orders")
+      val li = t(dir, "lineitem")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(BigDecimal(1).underlying).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_window_rank" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      val price = col("o_totalprice").cast(DecimalType(18, 2))
+      val w = Window.partitionBy("o_custkey").orderBy(price.desc, col("o_orderkey"))
+      t(dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), price.as("totalprice"),
+          rank().over(w).as("rnk"))
+        .where(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    }),
+
+    "q_setop_no_orders" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "customer").select("c_custkey")
+        .except(t(dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+
+    "q_events_hourly" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("hour_epoch", "event_type")
+    }),
+
+    // ---- dedup ------------------------------------------------------------
+    "d_exact_dups" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "documents")
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .where(col("cnt") > 1)
+        .orderBy("fingerprint")
+    }),
+
+    "d_jaccard_pairs" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      val g = t(dir, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id"), explode(array_distinct(Dedup.shingles(col("text"), 3))).as("gram"))
+      val a = g.as("a"); val b = g.as("b")
+      a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .where(col("inter") >= 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d_minhash_stats" -> ((spark, dir) => {
+      // no SQL oracle (hash-family specific) → rows-only check
+      implicit val s: SparkSession = spark
+      val docs = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val withSig = docs.withColumn("sig", Dedup.minhashSignature(col("text"), 3, 32))
+      withSig.select(posexplode(transform(sequence(lit(0), lit(7)),
+          bnd => xxhash64(concat_ws("|", slice(col("sig"), bnd * 4 + 1, lit(4)))))).as(Seq("band", "bandHash")))
+        .groupBy("band")
+        .agg(countDistinct("bandHash").as("n_buckets"), count(lit(1)).as("n_docs"))
+        .orderBy("band")
+    }),
+
+    "d_simhash" -> ((spark, dir) => {
+      // no SQL oracle (bit-level hash family) → rows-only check
+      implicit val s: SparkSession = spark
+      t(dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis ----------------------------------------------------
+    "t_token_stats" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("docs"),
+        sum(TextOps.tokenCount(col("text"))).cast(LongType).as("tokens"),
+        sum(TextOps.subwordCount(col("text"))).cast(LongType).as("subwords"),
+        sum(octet_length(col("text"))).cast(LongType).as("bytes"))
+        .orderBy("lang")
+    }),
+
+    "t_langid_confusion" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "documents")
+        .groupBy(col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "t_fingerprint" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      val ws = split(lower(col("text")), "\\s+")
+      val fp = aggregate(
+        zip_with(ws, sequence(lit(1), size(ws)),
+          (w, p) => p.cast(LongType) * (octet_length(w).cast(LongType) * 31L + ascii(substring(w, 1, 1)).cast(LongType))),
+        lit(0L), (acc, x) => acc + x)
+      t(dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), fp.as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search ------------------------------------------------
+    "s_dot_top10" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      // exact cross-engine arithmetic: scale float components to int64 once
+      // (round(x*1e7) of identical doubles is identical), then the dot product
+      // is a pure integer sum — no float-summation-order or rounding drift.
+      val emb = t(dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast(ArrayType(DoubleType))).head().getSeq[Double](0)
+      val qlit = array(q.map(v => lit(math.round(v * 1e7))): _*)
+      val scaled = transform(col("embedding").cast(ArrayType(DoubleType)),
+        x => round(x * 1e7).cast(LongType))
+      val dot = aggregate(zip_with(scaled, qlit, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      emb.select(col("vec_id"), dot.as("dot_scaled"))
+        .orderBy(desc("dot_scaled"), col("vec_id"))
+        .limit(10)
+    }),
+
+    "s_ann_lsh" -> ((spark, dir) => {
+      // no SQL oracle (hash-derived hyperplanes) → rows-only check
+      implicit val s: SparkSession = spark
+      val emb = t(dir, "embeddings")
+      val q = emb.where(col("vec_id") === 1)
+        .select(col("embedding").cast(ArrayType(DoubleType))).head().getSeq[Double](0)
+      Similarity.annTopK(emb, "vec_id", "embedding", q.map(_.toFloat), 10, planes = 4)
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------------
+    "m_payload_meta" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("digest"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"))
+        .orderBy("doc_id").limit(200)
+    }),
+
+    "m_media_features" -> ((spark, dir) => {
+      // no SQL oracle (synthetic media + stub codec) → rows-only check
+      implicit val s: SparkSession = spark
+      import spark.implicits._
+      val media = Multimodal.syntheticMedia(spark, 300).as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media, dims = 16).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), avg("n_bytes").as("avg_bytes"))
+        .orderBy("kind")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "v_is_valid_counts" ->
+      """SELECT (doc_id IS NOT NULL AND lang IN ('de','en','es','fr','zh')
+        |        AND regexp_matches(source, '^src[0-9]+$')
+        |        AND n_chars >= 1 AND n_chars <= 300 AND strlen(text) >= 50) AS valid,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY valid""".stripMargin,
+
+    "v_violations" ->
+      """SELECT * FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'n_chars:maximum' AS rule_id,
+        |         'Value exceeds maximum' AS observed, '300' AS expected
+        |  FROM documents WHERE n_chars > 300
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'text:minLength',
+        |         'String length ' || strlen(text) || ' is less than minLength 50', '50'
+        |  FROM documents WHERE strlen(text) < 50
+        |) ORDER BY doc_id, rule_id""".stripMargin,
+
+    "v_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(n_chars) AS BIGINT) AS n_chars_min,
+        |       CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS sources,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+        |FROM documents""".stripMargin,
+
+    "v_unique_dups" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events
+        |GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""".stripMargin,
+
+    "v_referential" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+        |WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 10)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "v_histogram" ->
+      """SELECT CAST(LEAST(GREATEST(FLOOR(n_chars / 40.0), 0), 15) AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "v_drift_ks" ->
+      """WITH h AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(n_chars / 40.0), 0), 15) AS INTEGER) AS bucket,
+        |         count(*) FILTER (WHERE lang = 'en') AS ca,
+        |         count(*) FILTER (WHERE lang <> 'en') AS cb
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT bucket,
+        |         sum(ca) OVER (ORDER BY bucket) AS cumA,
+        |         sum(cb) OVER (ORDER BY bucket) AS cumB,
+        |         sum(ca) OVER () AS totA, sum(cb) OVER () AS totB
+        |  FROM h)
+        |SELECT CAST(max(abs(cumA*totB - cumB*totA)) AS BIGINT) AS ks_num,
+        |       CAST(max(totA) AS BIGINT) AS tot_a, CAST(max(totB) AS BIGINT) AS tot_b
+        |FROM c""".stripMargin,
+
+    "v_verdict_by_source" ->
+      """SELECT source, bool_and(n_chars <= 300) AS pass_max,
+        |       bool_and(strlen(text) >= 50) AS pass_minlen,
+        |       CAST(count(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS n_violations,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "v_json_valid" ->
+      """SELECT event_id,
+        |       (CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 0 AND 50) AS valid
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "v_json_violations" ->
+      """SELECT event_id, 'k' AS path, 'Value exceeds maximum' AS message
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id, path""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_custkey % 10 = 0
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |         CAST(rank() OVER (PARTITION BY o_custkey
+        |              ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS INTEGER) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q_setop_no_orders" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "d_exact_dups" ->
+      """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS cnt,
+        |       min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+
+    "d_jaccard_pairs" ->
+      """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+        |            FROM documents WHERE doc_id < 120),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+        |      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |gs AS (SELECT DISTINCT doc_id, gram FROM g)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    "t_token_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS subwords,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS bytes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t_langid_confusion" ->
+      """SELECT lang,
+        |  CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       w -> w IN ('the','and','of','to','is','that','for','with'))) > 0
+        |       THEN 'en' ELSE 'und' END AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "t_fingerprint" ->
+      """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+        |            FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(sum(i * (strlen(words[i]) * 31 + ascii(substring(words[i], 1, 1)))) AS BIGINT) AS fp
+        |FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "s_dot_top10" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(sum(CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1e7) AS BIGINT) *
+        |           CAST(round(CAST(q.qv[i] AS DOUBLE) * 1e7) AS BIGINT)) AS BIGINT) AS dot_scaled
+        |FROM embeddings e, q, UNNEST(range(1, 65)) AS t(i)
+        |GROUP BY e.vec_id ORDER BY dot_scaled DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "m_payload_meta" ->
+      """SELECT doc_id, md5(text) AS digest, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+  )
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ * All stages are pure column functions + standard joins, shaped for scale:
+ * exact dedup is one hash-groupBy; MinHash-LSH turns the O(n²) pair problem
+ * into an equi-join on (band, bandHash) buckets so only candidate pairs are
+ * compared; SimHash gives a 64-bit per-doc signature for Hamming bucketing.
+ */
+object Dedup {
+
+  /** Word tokens of a text column (lowercased, \\s+ split, empties dropped). */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** n-gram word shingles: ["a b c", "b c d", …]. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array(concat_ws(" ", ws)))
+      .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** Exact duplicate groups by content hash: (fingerprint, cnt, ids). One
+    * shuffle on the 64-hex digest — uniform keys, no skew. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), sha2(col(textCol).cast(StringType), 256).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
+      .where(col("cnt") > 1)
+
+  /** MinHash signature: k independent hash family members via seeded xxhash64;
+    * sig[s] = min over shingles of hash(shingle, s). Implemented as ONE
+    * aggregate pass over the shingle array (elementwise running min of the
+    * k-vector) so shingle strings are built once per row, not once per seed —
+    * Catalyst's projection collapsing would otherwise inline the shingle
+    * expression into all k lambda bodies. Pure map-side. */
+  def minhashSignature(text: Column, numShingles: Int, k: Int): Column =
+    aggregate(shingles(text, numShingles), array_repeat(lit(Long.MaxValue), k),
+      (acc, x) => zip_with(acc,
+        transform(sequence(lit(1), lit(k)), s => xxhash64(x, s)),
+        (a, h) => least(a, h)))
+
+  /**
+   * MinHash-LSH candidate pairs: signatures split into `bands` bands of
+   * `rowsPerBand`; docs sharing any band bucket become candidates; candidates
+   * are verified with exact n-gram Jaccard. The band-bucket equi-join is the
+   * scale path — the self-join never materializes non-colliding pairs.
+   * Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+   */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     numShingles: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                     threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), numShingles, k))
+      .withColumn("shingleSet", array_distinct(shingles(col("text"), numShingles)))
+
+    // explode to (band, bandHash, id) — one row per band per doc
+    val buckets = withSig.select(col("id"), col("shingleSet"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bandHash")))
+
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shingleSet").as("sa"), col("b.shingleSet").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the word stream: per-bit majority vote of word hashes.
+    * Bits are unrolled statically (shift amounts are plan-time constants) so
+    * the whole computation is nested higher-order functions inside codegen. */
+  def simhash(text: Column): Column = {
+    val ws = words(text)
+    def bitsOf(w: Column): Column = array((0 until 64).map { b =>
+      when(shiftright(xxhash64(w), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+    }: _*)
+    val counts = aggregate(ws, array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(acc, bitsOf(w), (a, x) => a + x))
+    val bitValues = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(zip_with(counts, bitValues,
+        (v, bitVal) => when(v > 0, bitVal).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Exact n-gram Jaccard for an explicit pair set (small candidate lists). */
+  def jaccard(textA: Column, textB: Column, n: Int): Column = {
+    val sa = array_distinct(shingles(textA, n)); val sb = array_distinct(shingles(textB, n))
+    val inter = size(array_intersect(sa, sb))
+    inter.cast(DoubleType) / (size(sa) + size(sb) - inter)
+  }
+
+  /** Embedding-cosine near-duplicates: brute within LSH sign buckets. See
+    * Similarity.annLsh for the bucketing; this applies a distance cutoff. */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                              planes: Int = 8, minCosine: Double = 0.95): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", Similarity.signBucket(col("vec"), planes))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", Similarity.cosine(col("a.vec"), col("b.vec")))
+      .where(col("cosine") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

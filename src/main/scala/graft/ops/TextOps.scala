@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for training-data curation: token counting, quality
+ * scoring, language identification, document fingerprinting. All pure column
+ * functions (codegen'd); no UDFs, no driver loops.
+ */
+object TextOps {
+
+  /** Whitespace token count (regexp, robust to leading/trailing space). */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish subword count: word-initial pieces + punctuation + number runs —
+    * a cheap deterministic proxy for tokenizer cost (GPT-2-style regex). */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Stopword hit count against a small English function-word list. */
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as")
+  def stopwordCount(text: Column): Column =
+    size(filter(split(lower(text), "\\s+"), w => w.isin(stopwords: _*)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Quality heuristics bundle: struct of the standard curation signals. */
+  def qualitySignals(text: Column): Column = {
+    val nTok = tokenCount(text)
+    struct(
+      nTok.as("n_tokens"),
+      length(text).as("n_chars"),
+      (length(text).cast(DoubleType) / greatest(nTok, lit(1))).as("avg_token_len"),
+      (stopwordCount(text).cast(DoubleType) / greatest(nTok, lit(1))).as("stopword_ratio"),
+      (punctCount(text).cast(DoubleType) / greatest(length(text), lit(1))).as("punct_ratio"),
+      (regexp_count(text, lit("[A-Za-z]")).cast(DoubleType) /
+        greatest(regexp_count(text, lit("\\S")), lit(1))).as("alpha_ratio"),
+      (size(array_distinct(split(lower(text), "\\s+"))).cast(DoubleType) /
+        greatest(nTok, lit(1))).as("distinct_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: stopword presence + sane token length +
+    * lexical diversity, low punctuation noise. Thresholds follow common
+    * web-corpus filtering heuristics (e.g. C4-style rules). */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text)
+    val stopOk = least(s("stopword_ratio") * 4.0, lit(1.0))
+    val lenOk = when(s("avg_token_len").between(2.0, 12.0), 1.0).otherwise(0.3)
+    val diversity = s("distinct_ratio")
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - s("punct_ratio") * 5.0)
+    val alphaOk = s("alpha_ratio")
+    round((stopOk * 0.3 + lenOk * 0.15 + diversity * 0.15 +
+      punctPenalty * 0.2 + alphaOk * 0.2), 4)
+  }
+
+  /** Language-ID n-gram heuristic: score text against per-language marker sets
+    * (top function words); argmax wins, "und" (undetermined) when no evidence.
+    * Deterministic and fully columnar — a stand-in for a real n-gram model. */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "für"),
+    "es" -> Seq("el", "la", "los", "las", "es", "que", "por", "para"),
+    "fr" -> Seq("le", "la", "les", "est", "que", "pour", "avec", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langId(text: Column): Column = {
+    val ws = split(lower(text), "\\s+")
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      (lang, size(filter(ws, w => w.isin(markers: _*))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, sc)) =>
+      acc.when(sc === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: position-weighted rolling hash over words —
+    * order-sensitive (unlike a bag-of-words hash), cheap, exact-integer. */
+  def fingerprint(text: Column): Column =
+    aggregate(Dedup.words(text), lit(0L),
+      (acc, w) => pmod(acc * 1000003L + pmod(xxhash64(w), lit(1000000007L)),
+        lit(1000000007L))) // mod each step: ANSI mode makes silent overflow an error
+}

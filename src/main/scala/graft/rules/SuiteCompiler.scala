@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
 final case class ViolationRow(doc_id: String, rule_id: String, observed: String, expected: String)
 
 /** A column-level rule compiled to pure Catalyst expressions:
-  * `pass` is a BooleanType predicate (true = row passes);
-  * `violations` is array<struct<rule_id,observed,expected>> with one entry per
-  * failed check (possibly several for array element rules). Both stay inside
-  * whole-stage codegen — no UDFs (SURVEY.md §2.5). */
-final case class CompiledRule(id: String, pass: Column, violations: Column)
+  * `pass` is a BooleanType predicate (true = row passes) — kept free of
+  * row-level allocation so the scan+predicate pipeline stays inside
+  * whole-stage codegen; `violations` (array<struct<rule_id,observed,expected>>,
+  * one entry per failed check) and `violationCount` are only evaluated behind
+  * a failing-rows filter / CASE WHEN, so clean rows never pay for report
+  * construction — the Column analogue of the reference's errors=NULL
+  * suppressed validation (json_schema_validate.c:1551 etc.). */
+final case class CompiledRule(id: String, pass: Column, violations: Column,
+                              violationCount: Column)
 
 /**
  * Compiles a ValidationSuite document — JSON Schema keywords applied to the
@@ -57,23 +61,36 @@ object SuiteCompiler {
       else flatten(array(arrays: _*))
     }
 
+    /** Violated (row, rule) pairs per row — pure boolean arithmetic. This is
+      * deliberately NOT the exploded per-element entry count: element counting
+      * needs a lambda HOF (ArrayFilter), which is CodegenFallback and would
+      * knock the whole verdict aggregation out of whole-stage codegen. Exact
+      * per-element detail lives on the violations() path, which only ever
+      * touches failing rows. */
+    def violationCountCol: Column =
+      rules.map(r => when(r.pass, lit(0)).otherwise(lit(1)))
+        .reduceOption(_ + _).getOrElse(lit(0))
+
     /** Exploded typed violations, sorted (doc_id, rule_id) — the deterministic
-      * golden-output contract (SURVEY.md §2.2 ordering note). */
+      * golden-output contract (SURVEY.md §2.2 ordering note). The codegen'd
+      * predicate filter runs FIRST so violation-struct construction (allocation
+      * heavy) only touches failing rows. */
     def violations(df: DataFrame, keyCol: String): DataFrame = {
-      val withV = df.withColumn("__v", violationsCol)
-        .where(size(col("__v")) > 0)                  // skip clean rows before explode
+      val withV = df.where(!isValidCol)
+        .withColumn("__v", violationsCol)
         .select(col(keyCol).cast(StringType).as("doc_id"), explode(col("__v")).as("v"))
       withV.select(col("doc_id"), col("v.rule_id"), col("v.observed"), col("v.expected"))
         .orderBy("doc_id", "rule_id")
     }
 
     /** Per-partition verdict: one row per partition value with per-rule pass
-      * flags and violation counts — all map-side partial aggregation, one shuffle. */
+      * flags and violation counts — all map-side partial aggregation, one
+      * shuffle of O(partitions) rows. */
     def verdicts(df: DataFrame, partCols: Seq[String]): DataFrame = {
       val aggs = rules.map(r => bool_and(r.pass).as(s"pass_${sanitize(r.id)}")) ++
         Seq(bool_and(isValidCol).as("pass_all"),
             count(lit(1)).as("n_rows"),
-            sum(size(violationsCol)).as("n_violations"))
+            sum(violationCountCol.cast(LongType)).as("n_violations"))
       df.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
   }
@@ -163,7 +180,8 @@ object SuiteCompiler {
       case JBool(false) =>
         return Vector(CompiledRule(s"$colName:false",
           lit(false),
-          array(mkViolation(s"$colName:false", lit("Schema is false"), "false"))))
+          array(mkViolation(s"$colName:false", lit("Schema is false"), "false")),
+          lit(1)))
       case _ => return Vector.empty // malformed fragments vacuous (c:675 etc.)
     }
     val c = col(colName)
@@ -176,7 +194,8 @@ object SuiteCompiler {
       val id = s"$colName:$keyword"
       val p = guarded(pred)
       out += CompiledRule(id, p,
-        when(!p, array(mkViolation(id, observed, expected))).otherwise(array().cast(violationsType)))
+        when(!p, array(mkViolation(id, observed, expected))).otherwise(array().cast(violationsType)),
+        lit(1))
     }
 
     // required (extension: boolean flag → null check; message format c:768-771)
@@ -186,7 +205,8 @@ object SuiteCompiler {
         val p = c.isNotNull
         out += CompiledRule(id, p,
           when(!p, array(mkViolation(id, lit(s"Missing required property: $colName"),
-            "true"))).otherwise(array().cast(violationsType)))
+            "true"))).otherwise(array().cast(violationsType)),
+          lit(1))
       case _ => ()
     }
 
@@ -289,18 +309,21 @@ object SuiteCompiler {
       case _ => ()
     }
 
-    // items: element-level subschema → forall/filter with per-element violations
+    // items: element-level subschema. Pure-bounds checks compile to
+    // array_min/array_max comparisons (codegen'd, no per-element lambda);
+    // anything else uses forall. Per-element violation detail (reference
+    // "[i]" paths, c:1204-1208) is built only behind the failure branch.
     s.get("items").foreach {
       case itemSchema: JObj =>
         elemPredicate(itemSchema).foreach { case (elemPred, elemMsgs) =>
           val id = s"$colName:items"
-          val pass = guarded(forall(c, elemPred))
-          // per-element violations with reference "[i]" paths (c:1204-1208)
+          val pass = guarded(boundsOnlyPass(c, itemSchema).getOrElse(forall(c, elemPred)))
           val viols = when(!pass,
             flatten(zip_with(c, sequence(lit(0), size(c) - 1), (e, i) =>
               elemViolations(id, colName, e, i, elemMsgs)))
           ).otherwise(array().cast(violationsType))
-          out += CompiledRule(id, pass, viols)
+          val cnt = size(filter(c, e => !elemPred(e)))
+          out += CompiledRule(id, pass, viols, cnt)
         }
       case _ => () // non-object items vacuous
     }
@@ -362,7 +385,23 @@ object SuiteCompiler {
         .when(typeof(c).isin("tinyint", "smallint", "int", "bigint", "double", "float") || typeof(c).startsWith("decimal"), "number")
         .otherwise(typeof(c)))
     CompiledRule(id, pass,
-      when(!pass, array(mkViolation(id, observed, expectedJson))).otherwise(array().cast(violationsType)))
+      when(!pass, array(mkViolation(id, observed, expectedJson))).otherwise(array().cast(violationsType)),
+      lit(1))
+  }
+
+  /** When the element schema is ONLY numeric bounds, the forall collapses to
+    * aggregate-free array extrema — ArrayMin/ArrayMax are codegen'd, the
+    * lambda-based HOFs are not (they run interpreted per element). */
+  private def boundsOnlyPass(c: Column, s: JObj): Option[Column] = {
+    val boundKeys = Set("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum")
+    if (!s.keys.forall(boundKeys.contains)) return None
+    val preds = s.fields.collect {
+      case ("minimum", JNum(n))          => array_min(c) >= decLit(n)
+      case ("maximum", JNum(n))          => array_max(c) <= decLit(n)
+      case ("exclusiveMinimum", JNum(n)) => array_min(c) > decLit(n)
+      case ("exclusiveMaximum", JNum(n)) => array_max(c) < decLit(n)
+    }
+    preds.reduceOption(_ && _)
   }
 
   /** Element-level predicate for items/contains: bounds, enum, const, integer type. */

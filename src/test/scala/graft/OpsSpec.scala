@@ -1,0 +1,167 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "completely different content with unique words here"),
+    (4L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (5L, "spark engines process distributed data at scale")
+  ).toDF("id", "text")
+
+  test("exact duplicates via content hash") {
+    val dups = Dedup.exactDuplicates(docs, "id", "text").collect()
+    assert(dups.length === 1)
+    assert(dups(0).getAs[Seq[Long]]("ids") === Seq(1L, 4L))
+  }
+
+  test("shingles produce n-grams, short texts collapse to one") {
+    val r = docs.select(Dedup.shingles(col("text"), 3).as("sh")).where(col("text").contains("cat"))
+      .head().getSeq[String](0)
+    assert(r.head === "the quick brown")
+    assert(r.length === 7) // 9 words -> 7 trigrams
+    val short = Seq((1L, "one two")).toDF("id", "text")
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(short === Seq("one two"))
+  }
+
+  test("minhash LSH finds the near-duplicate pair and the exact pair") {
+    val pairs = Dedup.nearDuplicates(docs, "id", "text", numShingles = 2,
+      bands = 8, rowsPerBand = 2, threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L))) // exact dup always collides
+    assert(keys.contains((1L, 2L)) || keys.contains((2L, 4L))) // near-dup
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc never paired
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
+  }
+
+  test("simhash: identical texts equal, near-dups close in hamming, distinct far") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val m = docs.select(col("id"), Dedup.simhash(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(4L))
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+  }
+
+  test("embedding near-duplicates via LSH sign buckets") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.1)),
+      (2L, Seq(0.99, 0.01, 0.0, 0.1)),   // near-dup of 1
+      (3L, Seq(-1.0, 0.5, 0.2, -0.3))
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "id", "vec", planes = 4, minCosine = 0.99)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token/subword/punct counting") {
+    val df = Seq(("hello world, 42 times!", 1)).toDF("text", "id")
+    val r = df.select(
+      TextOps.tokenCount($"text").as("t"),
+      TextOps.subwordCount($"text").as("s"),
+      TextOps.punctCount($"text").as("p")).head()
+    assert(r.getInt(0) === 4)
+    assert(r.getInt(1) === 6) // hello, world, ',', 42, times, '!'
+    assert(r.getInt(2) === 2)
+  }
+
+  test("quality score rewards natural text over garbage") {
+    val df = Seq(
+      ("the cat sat on the mat and it was a good day for all of them", "nat"),
+      ("x$$@ ###!!! ??? ;;; @@@@ %%%%% ^^^^^ &&&&", "garbage")).toDF("text", "kind")
+    val scores = df.select($"kind", TextOps.qualityScore($"text")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("nat") > 0.7)
+    assert(scores("garbage") < 0.4)
+  }
+
+  test("langId picks the marker language, und when no evidence") {
+    val df = Seq(
+      ("the cat and the dog of the house", "en"),
+      ("der hund und die katze ist nicht hier", "de"),
+      ("el perro es que la casa", "es"),
+      ("xyzzy qwerty plugh", "und")).toDF("text", "expected")
+    df.collect() // materialize
+    val got = df.select($"expected", TextOps.langId($"text")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0), r.getString(0)))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq(("alpha beta gamma", 1), ("gamma beta alpha", 2)).toDF("text", "id")
+    val fps = df.select(TextOps.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) !== fps(1))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.8f, 0.2f, 0.1f))).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by true cosine") {
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), 3).collect().map(_.getLong(0))
+    assert(got === Array(0L, 1L, 4L))
+  }
+
+  test("ANN LSH bucket search returns the query's own bucket neighbors first") {
+    val got = Similarity.annTopK(vecs, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), 3, planes = 2).collect().map(_.getLong(0))
+    assert(got.nonEmpty)
+    assert(got.head === 0L) // exact match always shares its own bucket
+    assert(!got.contains(3L)) // antipode never lands in the same sign bucket
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("synthetic media schema + metadata pass + feature extraction plumbing") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "kind", "payload", "width", "height", "sample_rate"))
+
+    val meta = Multimodal.metadata(media).collect()
+    assert(meta.length === 100)
+    assert(meta.forall(_.getAs[Boolean]("geometry_ok")))
+    assert(meta.forall(_.getAs[Int]("n_bytes") === 64)) // 8 x 8-byte hex-decoded blocks
+
+    val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRow], dims = 8).collect()
+    assert(feats.length === 100)
+    assert(feats.forall(_.features.length === 8))
+    // determinism: same payload -> same features
+    val again = Multimodal.extractFeatures(media.as[Multimodal.MediaRow], dims = 8).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("frame sampling indices for video rows only") {
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val sampled = Multimodal.frameSampleIndices(media, fps = 30, everySec = 2).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      assert(r.getAs[String]("kind") === "video")
+      val idx = r.getAs[scala.collection.Seq[Long]]("frame_indices")
+      assert(idx.take(3) === Seq(0L, 60L, 120L))
+    }
+  }
+}

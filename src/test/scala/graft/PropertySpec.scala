@@ -1,0 +1,100 @@
+package graft
+
+import graft.json._
+import graft.rules.JsonSchemaValidator
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: the validator is total on arbitrary (doc, schema) pairs,
+  * agrees with itself across representations, and the JSON layer round-trips.
+  * (Deterministic seeded sampling — the scalatestplus bridge isn't in the
+  * offline artifact cache, raw scalacheck Gen is.) */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], n: Int = 300)(f: (A, B) => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to n).foreach { _ =>
+      val a = ga.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val b = gb.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      f(a, b)
+    }
+  }
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    forAll(ga, Gen.const(())) { (a, _) => f(a) }
+
+  private val genScalar: Gen[JVal] = Gen.oneOf(
+    Gen.const(JNull),
+    Gen.oneOf(true, false).map(JBool),
+    Gen.chooseNum(-1000000L, 1000000L).map(n => JNum(BigDecimal(n))),
+    Gen.chooseNum(-1000.0, 1000.0).map(d => JNum(BigDecimal(d.toString))),
+    Gen.alphaNumStr.map(JStr))
+
+  private def genJson(depth: Int): Gen[JVal] =
+    if (depth <= 0) genScalar
+    else Gen.frequency(
+      4 -> genScalar,
+      1 -> Gen.listOfN(3, genJson(depth - 1)).map(xs => JArr(xs.toVector)),
+      1 -> Gen.listOfN(3, Gen.zip(Gen.alphaNumStr, genJson(depth - 1)))
+        .map(fs => JObj.normalized(fs)))
+
+  private val genKeyword: Gen[(String, JVal)] = Gen.oneOf(
+    Gen.chooseNum(-100, 100).map(n => "minimum" -> (JNum(BigDecimal(n)): JVal)),
+    Gen.chooseNum(-100, 100).map(n => "maximum" -> (JNum(BigDecimal(n)): JVal)),
+    Gen.chooseNum(0, 20).map(n => "minLength" -> (JNum(BigDecimal(n)): JVal)),
+    Gen.chooseNum(0, 20).map(n => "maxItems" -> (JNum(BigDecimal(n)): JVal)),
+    Gen.oneOf("string", "number", "integer", "array", "object", "boolean", "null")
+      .map(t => "type" -> (JStr(t): JVal)),
+    Gen.listOfN(3, genScalar).map(vs => "enum" -> (JArr(vs.toVector): JVal)),
+    genScalar.map(v => "const" -> v),
+    Gen.const("uniqueItems" -> (JBool(true): JVal)),
+    // malformed fragments — must be vacuous, never throw (SURVEY.md §2.4.1)
+    Gen.const("type" -> (JNum(BigDecimal(7)): JVal)),
+    Gen.const("enum" -> (JStr("notAnArray"): JVal)),
+    Gen.const("pattern" -> (JStr("[invalid"): JVal)))
+
+  private val genSchema: Gen[JVal] = Gen.frequency(
+    6 -> Gen.listOfN(3, genKeyword).map(ks => JObj.normalized(ks)),
+    1 -> Gen.oneOf(true, false).map(JBool),
+    1 -> genScalar)
+
+  test("validator is total; valid implies zero violations") {
+    // NOTE the converse does not hold: a boolean `false` schema is invalid yet
+    // emits no error — the reference's fast path returns before any error
+    // construction (json_schema_validate.c:323-330), preserved deliberately.
+    forAll(genJson(3), genSchema) { (doc, schema) =>
+      val valid = JsonSchemaValidator.isValid(doc, schema)
+      val errs = JsonSchemaValidator.violations(doc, schema)
+      assert(!valid || errs.isEmpty,
+        s"doc=${Json.render(doc)} schema=${Json.render(schema)} errs=$errs")
+      if (errs.nonEmpty) assert(!valid)
+    }
+  }
+
+  test("false schema quirk: invalid with empty error array (reference c:323-330)") {
+    assert(!JsonSchemaValidator.isValid(Json.parse("5"), JBool(false)))
+    assert(JsonSchemaValidator.violationsJson(Json.parse("5"), JBool(false)) === "[]")
+  }
+
+  test("violationsJson is always parseable JSON") {
+    forAll(genJson(2), genSchema) { (doc, schema) =>
+      val out = JsonSchemaValidator.violationsJson(doc, schema)
+      val parsed = Json.parse(out)
+      assert(parsed.isInstanceOf[JArr])
+    }
+  }
+
+  test("Json render/parse round-trips (jsonb-normalized)") {
+    forAll(genJson(3)) { v =>
+      val normalized = Json.parse(Json.render(v))
+      assert(Json.render(normalized) === Json.render(v))
+    }
+  }
+
+  test("boolean schemas behave as constants") {
+    forAll(genJson(2)) { doc =>
+      assert(JsonSchemaValidator.isValid(doc, JBool(true)))
+      assert(!JsonSchemaValidator.isValid(doc, JBool(false)))
+    }
+  }
+}
