@@ -151,3 +151,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.entries.size === 8)
   }
 }
+
+class CompiledSchemaSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.functions.CompiledJsonSchema
+
+  test("compile-once handle matches the dynamic path on real data") {
+    import org.apache.spark.sql.functions._
+    val cs = CompiledJsonSchema.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"maximum":50}}}""")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val n = ev.where(cs.isValid(col("props"))).count()
+    val m = ev.where(graft.functions.functions.jsonschema_is_valid(col("props"),
+      """{"type":"object","required":["k"],"properties":{"k":{"maximum":50}}}""")).count()
+    assert(n === m)
+    assert(cs.hash.length === 16)
+  }
+
+  test("compile fails fast on malformed or non-object/bool schemas") {
+    intercept[graft.json.JsonParseException](CompiledJsonSchema.compile("{nope"))
+    intercept[IllegalArgumentException](CompiledJsonSchema.compile("42"))
+    // boolean schemas are valid compiled schemas (c:323-330)
+    assert(CompiledJsonSchema.compile("true").canonical === "true")
+  }
+}
+
+class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted duplicate detection is correct under 90% single-key skew") {
+    import org.apache.spark.sql.functions._
+    // skew fixture (FIXTURES.md §1): 90% of rows on source="web"; duplicates
+    // injected every 200 rows — salted two-phase agg must find exactly those
+    val df = graft.corpus.CorpusGen.generate(spark, graft.corpus.CorpusGen.Config(
+      rows = 4000, dupEvery = 200, skewWebPct = 90))
+    val skewShare = df.where(col("source") === "web").count().toDouble / 4000
+    assert(skewShare > 0.85)
+    val dups = graft.pipeline.TableChecks.duplicates(df, "doc_id").collect()
+    assert(dups.length === 19) // rows 200,400,...,3800
+    assert(dups.forall(_.getAs[Long]("cnt") === 2))
+    // and a skewed groupBy with salting: per-source counts match plain groupBy
+    val plain = df.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(16)))
+      .groupBy("source", "__salt").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(sum("c").as("count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain === salted)
+  }
+}
