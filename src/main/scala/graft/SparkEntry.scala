@@ -176,6 +176,38 @@ object SparkEntry {
         .orderBy("o_custkey", "rnk", "o_orderkey")
     }),
 
+    "q_rollup" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    "q_semijoin" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      // customers having at least one high-value order (left_semi = EXISTS)
+      val big = t(dir, "orders").where(col("o_totalprice") > 400000)
+      t(dir, "customer").select("c_custkey")
+        .join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+        .orderBy("c_custkey")
+    }),
+
+    "v_variant_extract" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      // Spark 4 VariantType path for semi-structured columns (SURVEY.md §1.2):
+      // parse once to variant, typed extraction + predicate on the extract
+      t(dir, "events")
+        .select(col("event_id"),
+          try_variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .where(col("k") > 90)
+        .orderBy("event_id")
+    }),
+
     "q_setop_no_orders" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       t(dir, "customer").select("c_custkey")
@@ -217,9 +249,9 @@ object SparkEntry {
       // no SQL oracle (hash-family specific) → rows-only check
       implicit val s: SparkSession = spark
       val docs = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
-      val withSig = docs.withColumn("sig", Dedup.minhashSignature(col("text"), 3, 32))
+      val withSig = docs.withColumn("sig", Dedup.minhashSignature(col("text"), 3, 16))
       withSig.select(posexplode(transform(sequence(lit(0), lit(7)),
-          bnd => xxhash64(concat_ws("|", slice(col("sig"), bnd * 4 + 1, lit(4)))))).as(Seq("band", "bandHash")))
+          bnd => xxhash64(concat_ws("|", slice(col("sig"), bnd * 2 + 1, lit(2)))))).as(Seq("band", "bandHash")))
         .groupBy("band")
         .agg(countDistinct("bandHash").as("n_buckets"), count(lit(1)).as("n_docs"))
         .orderBy("band")
@@ -412,6 +444,24 @@ object SparkEntry {
         |              ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS INTEGER) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "v_variant_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+        |ORDER BY event_id""".stripMargin,
 
     "q_setop_no_orders" ->
       """SELECT c_custkey FROM customer

@@ -18,16 +18,24 @@ final case class PartitionEntry(part: Int, nRows: Long, nViolations: Long,
                                 passAll: Boolean)
 
 final class Manifest(val snapshotId: String, val ruleSetHash: String,
-                     val entries: Map[Int, PartitionEntry]) {
+                     val entries: Map[Int, PartitionEntry],
+                     val globalDuplicateKeys: Option[Long] = None) {
   def isDone(part: Int): Boolean = entries.contains(part)
   def withEntries(es: Seq[PartitionEntry]): Manifest =
-    new Manifest(snapshotId, ruleSetHash, entries ++ es.map(e => e.part -> e))
+    new Manifest(snapshotId, ruleSetHash, entries ++ es.map(e => e.part -> e),
+      globalDuplicateKeys)
+  /** Global (cross-partition) rules are table-level: recorded once per
+    * snapshot, not per partition (SURVEY.md §7 hard part c). */
+  def withGlobalDuplicates(n: Long): Manifest =
+    new Manifest(snapshotId, ruleSetHash, entries, Some(n))
 
   def toJson: String = {
     val parts = entries.values.toSeq.sortBy(_.part).map { e =>
       s"""{"part":${e.part},"nRows":${e.nRows},"nViolations":${e.nViolations},"passAll":${e.passAll}}"""
     }.mkString("[", ",", "]")
-    s"""{"snapshotId":"$snapshotId","ruleSetHash":"$ruleSetHash","partitions":$parts}"""
+    val globals = globalDuplicateKeys
+      .map(n => s""","global":{"duplicateKeys":$n,"uniquePass":${n == 0}}""").getOrElse("")
+    s"""{"snapshotId":"$snapshotId","ruleSetHash":"$ruleSetHash","partitions":$parts$globals}"""
   }
 }
 
@@ -55,7 +63,10 @@ object Manifest {
             }.toMap
             case _ => Map.empty[Int, PartitionEntry]
           }
-          new Manifest(snapshotId, ruleSetHash, es)
+          val globalDups = o.get("global").collect { case g: JObj =>
+            g.get("duplicateKeys").collect { case JNum(n) => n.toLong }
+          }.flatten
+          new Manifest(snapshotId, ruleSetHash, es, globalDups)
         }
       case _ => empty(snapshotId, ruleSetHash)
     }
@@ -116,8 +127,14 @@ object ValidationPipeline {
       Manifest.save(manifest, manifestPath) // checkpoint after each batch
     }
 
-    // global (cross-partition) rule: doc_id uniqueness, salted two-phase
-    val dupCount = TableChecks.duplicates(corpus, keyCol).count()
+    // global (cross-partition) rule: doc_id uniqueness, salted two-phase;
+    // resumable too — a completed global check is recorded in the manifest
+    val dupCount = manifest.globalDuplicateKeys.getOrElse {
+      val n = TableChecks.duplicates(corpus, keyCol).count()
+      manifest = manifest.withGlobalDuplicates(n)
+      Manifest.save(manifest, manifestPath)
+      n
+    }
 
     RunResult(manifest.entries.values.toSeq.sortBy(_.part), skipped, dupCount)
   }
