@@ -1,0 +1,73 @@
+package graft
+
+import graft.rules.SuiteCompiler
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/**
+ * Cross-implementation property: for randomized ValidationSuites over the
+ * corpus schema, the columnar compiler (Catalyst Columns) and the row-scalar
+ * walker (the reference-semantics interpreter) must agree row-for-row —
+ * per-row token-array equality is the shared invariant (BASELINE.json
+ * input_hint). The row side validates the to_json projection of the row
+ * against an equivalent JSON Schema document.
+ */
+class SuiteAgreementSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def randomSuite(rnd: Random): (String, String) = {
+    // build matched (columnSuite, jsonSchema) pairs keyword-by-keyword
+    val nMin = rnd.nextInt(200)
+    val nMax = nMin + rnd.nextInt(400)
+    val minLen = rnd.nextInt(8)
+    val maxItems = 1 + rnd.nextInt(600)
+    val tokMax = 10000 + rnd.nextInt(50000)
+    val langs = Random.shuffle(List("web", "books", "code", "wiki", "BADSRC"))
+      .take(1 + rnd.nextInt(4)).map(s => s""""$s"""").mkString(",")
+    val pat = rnd.nextInt(3) match {
+      case 0 => "^doc-"
+      case 1 => "^doc-[0-9]{12}$"
+      case 2 => "-0{3}"
+    }
+    val suite =
+      s"""{ "rules": {
+         |  "doc_id": { "type": "string", "minLength": $minLen, "pattern": "$pat" },
+         |  "n_tok":  { "type": "integer", "minimum": $nMin, "maximum": $nMax },
+         |  "source": { "enum": [$langs] },
+         |  "tokens": { "minItems": 1, "maxItems": $maxItems, "uniqueItems": true,
+         |              "items": { "minimum": 0, "exclusiveMaximum": $tokMax } }
+         |}}""".stripMargin
+    val docSchema =
+      s"""{ "type": "object", "properties": {
+         |  "doc_id": { "type": "string", "minLength": $minLen, "pattern": "$pat" },
+         |  "n_tok":  { "type": "integer", "minimum": $nMin, "maximum": $nMax },
+         |  "source": { "enum": [$langs] },
+         |  "tokens": { "minItems": 1, "maxItems": $maxItems, "uniqueItems": true,
+         |              "items": { "minimum": 0, "exclusiveMaximum": $tokMax } }
+         |}}""".stripMargin
+    (suite, docSchema)
+  }
+
+  test("columnar compiler == row-scalar walker on 12 randomized suites") {
+    import graft.functions.functions._
+    val df = graft.corpus.CorpusGen.generate(spark,
+      graft.corpus.CorpusGen.Config(rows = 500, badSourceEvery = 17,
+        badTokenEvery = 23, badNtokEvery = 0)).cache()
+    df.count()
+    val rnd = new Random(4242)
+    (1 to 12).foreach { i =>
+      val (suite, docSchema) = randomSuite(rnd)
+      val compiled = SuiteCompiler.compile(suite)
+      val both = df.withColumn("columnar", compiled.isValidCol)
+        .withColumn("dynamic", jsonschema_is_valid(
+          to_json(struct(col("doc_id"), col("tokens"), col("n_tok"), col("source"))),
+          docSchema))
+      val disagree = both.where(col("columnar") =!= col("dynamic"))
+      val n = disagree.count()
+      if (n > 0) disagree.show(3, false)
+      assert(n === 0, s"suite #$i disagrees on $n rows:\n$suite")
+    }
+    df.unpersist()
+  }
+}
