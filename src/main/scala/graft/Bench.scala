@@ -49,6 +49,30 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Scalar JSON validation throughput (the reference's CHECK-constraint hot
+    * path): is_valid over DynDocs small generated JSON documents. */
+  val DynDocs = 2000000L
+  private def measureDynamic(n: Int): Double = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.functions._
+    val s = session(n)
+    val docs = s.range(DynDocs).select(
+      format_string("""{"name":"user%d","age":%d,"email":"u%d@example.com"}""",
+        col("id"), pmod(col("id"), lit(120)), col("id")).as("doc")).cache()
+    docs.count()
+    val schema = """{"type":"object","required":["name","age"],"properties":{
+      "name":{"type":"string","minLength":3},
+      "age":{"type":"integer","minimum":0,"maximum":130},
+      "email":{"type":"string","format":"email"}}}""".replaceAll("\n\\s*", "")
+    def job(): Unit =
+      docs.agg(sum(jsonschema_is_valid(col("doc"), schema).cast("int"))).collect()
+    job() // warm
+    val t = (1 to 3).map(_ => timeSec(job())).min
+    docs.unpersist()
+    s.stop()
+    t
+  }
+
   /** The flagship validation job: full rule evaluation + per-partition verdict. */
   val benchSuite: String =
     """{ "$defs": { "tokenRange": { "minimum": 0, "exclusiveMaximum": 50257 } },
@@ -121,8 +145,12 @@ object Bench {
       require(rows2 == rows8 && rows8 == rows32)
       val eff = (t2 / t8) / 4.0
       val eff832 = (t8 / t32) / 4.0
-      writeBaselineMd(benchRows, t2, t8, t32, rows8, eff, eff832)
-      f""","scaling":{"rows":$rows8,"n_cores":2,"n4_cores":8,"t_n_sec":$t2%.3f,"t_n4_sec":$t8%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong},"efficiency":$eff%.3f},"scaling_8_32":{"t_8_sec":$t8%.3f,"t_32_sec":$t32%.3f,"efficiency":$eff832%.3f}"""
+      // secondary evidence: the reference's actual hot path (scalar JSON
+      // validation, c:204-242) — pure compute, no corpus IO, scales further
+      val (d2, d8, d32) = (measureDynamic(2), measureDynamic(8), measureDynamic(32))
+      val dEff = (d2 / d8) / 4.0
+      writeBaselineMd(benchRows, t2, t8, t32, rows8, eff, eff832, d2, d8, d32, dEff)
+      f""","scaling":{"rows":$rows8,"n_cores":2,"n4_cores":8,"t_n_sec":$t2%.3f,"t_n4_sec":$t8%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong},"efficiency":$eff%.3f},"scaling_8_32":{"t_8_sec":$t8%.3f,"t_32_sec":$t32%.3f,"efficiency":$eff832%.3f},"scalar_json_path":{"docs":$DynDocs,"t_2_sec":$d2%.3f,"t_8_sec":$d8%.3f,"t_32_sec":$d32%.3f,"docs_per_sec_32":${(DynDocs / d32).toLong},"efficiency_2_8":$dEff%.3f}"""
     }
     if (!skipScaling) () else spark.stop()
 
@@ -131,7 +159,8 @@ object Bench {
   }
 
   private def writeBaselineMd(rows: Long, t2: Double, t8: Double, t32: Double,
-                              nRows: Long, eff: Double, eff832: Double): Unit = {
+                              nRows: Long, eff: Double, eff832: Double,
+                              d2: Double, d8: Double, d32: Double, dEff: Double): Unit = {
     val dir = new java.io.File("BENCH"); dir.mkdirs()
     val md =
       f"""# BENCH / BASELINE — measured scaling evidence
@@ -161,6 +190,23 @@ object Bench {
          |core-count scaling beyond the bandwidth knee measures a single
          |executor's internals, not executor-count scaling. The compute-bound
          |regime (2 -> 8) is the faithful analogue of N -> 4N executors.
+         |
+         |## Secondary: scalar JSON path (the reference's own hot path)
+         |
+         |`jsonschema_is_valid` over $DynDocs generated JSON documents
+         |(object schema: required + type + minLength + integer bounds + email
+         |format — the CHECK-constraint shape, README.md:448-465 of the
+         |reference). Pure compute, no corpus IO:
+         |
+         || cores | 2 | 8 | 32 |
+         ||---|---|---|---|
+         || wall time | $d2%.3f s | $d8%.3f s | $d32%.3f s |
+         || docs/sec | ${(DynDocs / d2).toLong} | ${(DynDocs / d8).toLong} | ${(DynDocs / d32).toLong} |
+         |
+         |Efficiency 2 -> 8 cores: $dEff%.3f. Single-node comparison: the
+         |reference is a single-threaded-per-call C extension hosted by
+         |PostgreSQL; this engine validates the same document/schema shape at
+         |${(DynDocs / d32).toLong} docs/sec on one 32-core node.
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH/BASELINE.md"),
       md.getBytes("UTF-8"))

@@ -346,6 +346,89 @@ object SuiteCompiler {
       case _ => ()
     }
 
+    // ---- combinators (SURVEY.md §2.2 allOf/anyOf/oneOf/not/if-then-else) ----
+    // sub-schemas compile recursively to (pass, violations) on the same column;
+    // suppression contexts (anyOf/oneOf/not/if) use only the predicate —
+    // mirroring the reference's errors=NULL recursion (c:1551, :1594, :1626, :1660)
+    def subPassViol(sub: JVal): Option[(Column, Column)] = {
+      val rules = compileColumn(colName, sub)
+      if (rules.isEmpty) None
+      else Some((rules.map(_.pass).reduce(_ && _),
+        if (rules.size == 1) rules.head.violations
+        else flatten(array(rules.map(_.violations): _*))))
+    }
+
+    s.get("allOf").foreach {
+      case JArr(subs) =>
+        val compiled = subs.flatMap(subPassViol)
+        if (compiled.nonEmpty) {
+          val id = s"$colName:allOf"
+          val pass = compiled.map(_._1).reduce(_ && _)
+          // error accumulation from ALL branches (c:1514-1518)
+          val viols = if (compiled.size == 1) compiled.head._2
+                      else flatten(array(compiled.map(_._2): _*))
+          out += CompiledRule(id, pass, viols, lit(1))
+        }
+      case _ => () // non-array vacuous (c:1502-1507)
+    }
+
+    s.get("anyOf").foreach {
+      case JArr(subs) =>
+        val compiled = subs.flatMap(subPassViol)
+        if (compiled.nonEmpty) {
+          val id = s"$colName:anyOf"
+          val pass = compiled.map(_._1).reduce(_ || _)
+          out += CompiledRule(id, pass,
+            when(!pass, array(mkViolation(id,
+              lit("Value does not match any schema in anyOf"), Json.render(JArr(subs)))))
+              .otherwise(array().cast(violationsType)), lit(1))
+        }
+      case _ => ()
+    }
+
+    s.get("oneOf").foreach {
+      case JArr(subs) =>
+        val compiled = subs.flatMap(subPassViol)
+        if (compiled.nonEmpty) {
+          val id = s"$colName:oneOf"
+          val matches = compiled.map(_._1.cast(IntegerType)).reduce(_ + _)
+          val pass = matches === 1
+          val msg = when(matches === 0, lit("Value does not match any schema in oneOf"))
+            .otherwise(format_string("Value matches %d schemas in oneOf, but must match exactly one", matches))
+          out += CompiledRule(id, pass,
+            when(!pass, array(mkViolation(id, msg, Json.render(JArr(subs)))))
+              .otherwise(array().cast(violationsType)), lit(1))
+        }
+      case _ => ()
+    }
+
+    s.get("not").foreach { sub =>
+      subPassViol(sub).foreach { case (subPass, _) =>
+        val id = s"$colName:not"
+        val pass = !subPass
+        out += CompiledRule(id, pass,
+          when(!pass, array(mkViolation(id,
+            lit("Value must not match the schema in 'not'"), Json.render(sub))))
+            .otherwise(array().cast(violationsType)), lit(1))
+      }
+    }
+
+    s.get("if").foreach { ifSchema =>
+      val thenPV = s.get("then").flatMap(subPassViol)
+      val elsePV = s.get("else").flatMap(subPassViol)
+      if (thenPV.isDefined || elsePV.isDefined) {
+        subPassViol(ifSchema).foreach { case (ifPass, _) =>
+          val id = s"$colName:if"
+          val emptyV = array().cast(violationsType)
+          val pass = when(ifPass, thenPV.map(_._1).getOrElse(lit(true)))
+            .otherwise(elsePV.map(_._1).getOrElse(lit(true)))
+          val viols = when(ifPass, thenPV.map(_._2).getOrElse(emptyV))
+            .otherwise(elsePV.map(_._2).getOrElse(emptyV))
+          out += CompiledRule(id, pass, viols, lit(1))
+        }
+      }
+    }
+
     // equalsExpr extension: cross-column invariant (e.g. "size(tokens)")
     s.get("equalsExpr").foreach {
       case JStr(e) =>

@@ -71,3 +71,58 @@ class SuiteAgreementSpec extends AnyFunSuite {
     df.unpersist()
   }
 }
+
+/** Combinator keywords through the COLUMNAR compiler, cross-checked against
+  * the row-scalar walker (same semantics: anyOf summary error, oneOf exact
+  * count, if/then/else branch selection, not negation, allOf accumulation). */
+class CombinatorColumnarSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def check(suite: String, docSchema: String): Unit = {
+    import graft.functions.functions._
+    val df = graft.corpus.CorpusGen.generate(spark,
+      graft.corpus.CorpusGen.Config(rows = 400, badSourceEvery = 13, badNtokEvery = 29))
+    val compiled = SuiteCompiler.compile(suite)
+    val both = df.withColumn("columnar", compiled.isValidCol)
+      .withColumn("dynamic", jsonschema_is_valid(
+        to_json(struct(col("doc_id"), col("tokens"), col("n_tok"), col("source"))), docSchema))
+    assert(both.where(col("columnar") =!= col("dynamic")).count() === 0, suite)
+    // verdicts path also runs (no exceptions, counts consistent)
+    val v = compiled.verdicts(df, Seq("part")).collect()
+    assert(v.map(_.getAs[Long]("n_rows")).sum === 400)
+  }
+
+  test("anyOf columnar == walker") {
+    check(
+      """{ "rules": { "n_tok": { "anyOf": [ {"maximum": 100}, {"minimum": 400} ] } } }""",
+      """{ "properties": { "n_tok": { "anyOf": [ {"maximum": 100}, {"minimum": 400} ] } } }""")
+  }
+  test("oneOf columnar == walker") {
+    check(
+      """{ "rules": { "n_tok": { "oneOf": [ {"minimum": 100}, {"maximum": 300} ] } } }""",
+      """{ "properties": { "n_tok": { "oneOf": [ {"minimum": 100}, {"maximum": 300} ] } } }""")
+  }
+  test("allOf columnar == walker, errors accumulate") {
+    check(
+      """{ "rules": { "source": { "allOf": [ {"enum":["web","books","code","wiki"]}, {"minLength": 4} ] } } }""",
+      """{ "properties": { "source": { "allOf": [ {"enum":["web","books","code","wiki"]}, {"minLength": 4} ] } } }""")
+    val df = graft.corpus.CorpusGen.generate(spark,
+      graft.corpus.CorpusGen.Config(rows = 100, badSourceEvery = 10))
+    val compiled = SuiteCompiler.compile(
+      """{ "rules": { "source": { "allOf": [ {"enum":["web","books","code","wiki"]}, {"maxLength": 5} ] } } }""")
+    val v = compiled.violations(df, "doc_id").collect()
+    // BADSRC fails enum AND maxLength(5)? BADSRC is 6 bytes -> both branches fire
+    assert(v.count(_.getAs[String]("observed") == "Value not in enum") === 9)
+    assert(v.count(_.getAs[String]("observed").startsWith("String length 6 exceeds")) === 9)
+  }
+  test("not columnar == walker") {
+    check(
+      """{ "rules": { "source": { "not": { "enum": ["BADSRC"] } } } }""",
+      """{ "properties": { "source": { "not": { "enum": ["BADSRC"] } } } }""")
+  }
+  test("if/then/else columnar == walker") {
+    check(
+      """{ "rules": { "n_tok": { "if": {"minimum": 256}, "then": {"maximum": 400}, "else": {"minimum": 10} } } }""",
+      """{ "properties": { "n_tok": { "if": {"minimum": 256}, "then": {"maximum": 400}, "else": {"minimum": 10} } } }""")
+  }
+}
