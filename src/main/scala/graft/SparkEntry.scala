@@ -223,6 +223,30 @@ object SparkEntry {
         .orderBy("hour_epoch", "event_type")
     }),
 
+    "e_stream_hourly" -> ((spark, dir) => {
+      // Structured Streaming (AvailableNow trigger, memory sink) producing the
+      // same hourly verdict aggregation as the batch path — oracle-checked
+      // against DuckDB, proving batch/stream semantic parity.
+      implicit val s: SparkSession = spark
+      val schema = t(dir, "events").schema
+      // file stream sources need a directory: stage the single parquet file
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val q = spark.readStream.schema(schema).parquet(staged.toString)
+        .withColumn("ts", col("ts").cast(TimestampType)) // parquet NTZ → event time
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("e_stream_hourly_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table("e_stream_hourly_sink").orderBy("hour_epoch", "event_type")
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "d_exact_dups" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
@@ -471,6 +495,11 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |       CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "e_stream_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
 
     "d_exact_dups" ->

@@ -346,6 +346,60 @@ object SuiteCompiler {
       case _ => ()
     }
 
+    // ---- object keywords for MapType columns (SURVEY.md §2.2 object rows) ----
+    // required: every listed key present (c:736-780), one violation per key
+    s.get("requiredKeys").orElse(s.get("required").filter(_.isInstanceOf[JArr])).foreach {
+      case JArr(reqs) =>
+        reqs.collect { case JStr(k) => k }.foreach { k =>
+          val id = s"$colName:required:$k"
+          val p = guarded(map_contains_key(c, k))
+          out += CompiledRule(id, p,
+            when(!p, array(mkViolation(id, lit(s"Missing required property: $k"), s""""$k"""")))
+              .otherwise(array().cast(violationsType)), lit(1))
+        }
+      case _ => ()
+    }
+    // minProperties / maxProperties (c:1687-1740)
+    s.get("minProperties").flatMap(num).foreach { m =>
+      val mi = m.toInt
+      rule("minProperties", size(c) >= mi,
+        format_string(s"Object has %d properties, minimum is $mi", size(c)), m.toString) }
+    s.get("maxProperties").flatMap(num).foreach { m =>
+      val mi = m.toInt
+      rule("maxProperties", size(c) <= mi,
+        format_string(s"Object has %d properties, maximum is $mi", size(c)), m.toString) }
+    // propertyNames: every key validated as a string value (c:842-882);
+    // supports the string-shaped element checks (pattern/length/enum)
+    s.get("propertyNames").foreach {
+      case pn: JObj =>
+        keyPredicate(pn).foreach { pred =>
+          rule("propertyNames", forall(map_keys(c), pred),
+            lit("Property name does not match propertyNames schema"), Json.render(pn))
+        }
+      case _ => ()
+    }
+    // additionalProperties (+ properties/patternProperties exemptions, c:1358-1487)
+    s.get("additionalProperties").foreach { ap =>
+      val known: Vector[String] = s.get("properties") match {
+        case Some(p: JObj) => p.keys
+        case _ => Vector.empty
+      }
+      val patterns: Vector[String] = s.get("patternProperties") match {
+        case Some(pp: JObj) => pp.keys.filter(PosixRegex.isValid)
+        case _ => Vector.empty
+      }
+      def exempt(k: Column): Column = {
+        val inKnown = if (known.nonEmpty) k.isin(known: _*) else lit(false)
+        patterns.foldLeft(inKnown)((acc, p) => acc || k.rlike(PosixRegex.translate(p)))
+      }
+      ap match {
+        case JBool(false) =>
+          rule("additionalProperties", forall(map_keys(c), k => exempt(k)),
+            lit("Additional properties are not allowed"), "false")
+        case _ => () // true or schema: schema-valued AP needs per-value typing; vacuous here
+      }
+    }
+
     // ---- combinators (SURVEY.md §2.2 allOf/anyOf/oneOf/not/if-then-else) ----
     // sub-schemas compile recursively to (pass, violations) on the same column;
     // suppression contexts (anyOf/oneOf/not/if) use only the predicate —
@@ -470,6 +524,32 @@ object SuiteCompiler {
     CompiledRule(id, pass,
       when(!pass, array(mkViolation(id, observed, expectedJson))).otherwise(array().cast(violationsType)),
       lit(1))
+  }
+
+  /** String-shaped predicate for propertyNames keys (pattern/length/enum). */
+  private def keyPredicate(s: JObj): Option[Column => Column] = {
+    val checks = Vector.newBuilder[Column => Column]
+    s.get("pattern").foreach {
+      case JStr(p) if PosixRegex.isValid(p) =>
+        checks += ((k: Column) => k.rlike(PosixRegex.translate(p)))
+      case _ => ()
+    }
+    s.get("minLength").foreach {
+      case JNum(n) => val m = n.toInt; checks += ((k: Column) => octet_length(k) >= m)
+      case _ => ()
+    }
+    s.get("maxLength").foreach {
+      case JNum(n) => val m = n.toInt; checks += ((k: Column) => octet_length(k) <= m)
+      case _ => ()
+    }
+    s.get("enum").foreach {
+      case JArr(ms) =>
+        val vs = ms.collect { case JStr(x) => x: Any }
+        if (vs.nonEmpty) checks += ((k: Column) => k.isin(vs: _*))
+      case _ => ()
+    }
+    val cs = checks.result()
+    if (cs.isEmpty) None else Some((k: Column) => cs.map(_(k)).reduce(_ && _))
   }
 
   /** When the element schema is ONLY numeric bounds, the forall collapses to

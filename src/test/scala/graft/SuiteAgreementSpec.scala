@@ -126,3 +126,43 @@ class CombinatorColumnarSpec extends AnyFunSuite {
       """{ "properties": { "n_tok": { "if": {"minimum": 256}, "then": {"maximum": 400}, "else": {"minimum": 10} } } }""")
   }
 }
+
+/** Object keywords on MapType columns through the columnar compiler. */
+class MapColumnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def mapDf = {
+    import spark.implicits._
+    Seq(
+      (1L, Map("k" -> 5, "extra" -> 1)),
+      (2L, Map("k" -> 7)),
+      (3L, Map("other" -> 9)),
+      (4L, Map[String, Int]()),
+      (5L, Map("k" -> 1, "k2" -> 2, "k3" -> 3, "k4" -> 4))
+    ).toDF("id", "props")
+  }
+
+  test("requiredKeys / min-maxProperties / propertyNames / additionalProperties on maps") {
+    val suite =
+      """{ "rules": { "props": {
+        |  "required": ["k"],
+        |  "minProperties": 1, "maxProperties": 3,
+        |  "propertyNames": { "pattern": "^[a-z][a-z0-9]*$", "maxLength": 5 },
+        |  "additionalProperties": false, "properties": { "k": {}, "k2": {}, "k3": {}, "k4": {} },
+        |  "patternProperties": { "^ex": {} }
+        |}}}""".stripMargin
+    val compiled = SuiteCompiler.compile(suite)
+    val rows = mapDf.withColumn("v", compiled.isValidCol)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows(1L))            // k present, extra exempted by patternProperties
+    assert(rows(2L))            // k present
+    assert(!rows(3L))           // missing k + 'other' not allowed
+    assert(!rows(4L))           // empty: minProperties + missing k
+    assert(!rows(5L))           // 4 properties > maxProperties 3
+    val v = compiled.violations(mapDf, "id").collect()
+    assert(v.exists(r => r.getAs[String]("rule_id") == "props:required:k" &&
+      r.getAs[String]("observed") == "Missing required property: k"))
+    assert(v.exists(_.getAs[String]("observed") == "Object has 4 properties, maximum is 3"))
+    assert(v.exists(_.getAs[String]("observed") == "Additional properties are not allowed"))
+  }
+}
