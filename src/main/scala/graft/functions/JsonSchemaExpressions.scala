@@ -63,7 +63,8 @@ abstract class JsonSchemaExpr extends BinaryExpression with CodegenFallback {
   protected def compute(docV: JVal, schemaV: JVal): Any
 
   override def nullSafeEval(docAny: Any, schemaAny: Any): Any = {
-    val docV = Json.parseOpt(docAny.asInstanceOf[UTF8String].toString)
+    // UTF-8 byte parsing: no per-row String materialization of the document
+    val docV = Json.parseBytesOpt(docAny.asInstanceOf[UTF8String].getBytes)
     val schemaV = parseSchema(schemaAny.asInstanceOf[UTF8String])
     (docV, schemaV) match {
       case (Some(d), Some(s)) => compute(d, s)

@@ -31,30 +31,62 @@ final case class JNum(value: BigDecimal) extends JVal
 final case class JStr(value: String) extends JVal
 final case class JArr(items: Vector[JVal]) extends JVal
 final case class JObj private (fields: Vector[(String, JVal)]) extends JVal {
-  private lazy val index: Map[String, JVal] = fields.toMap
-  def get(key: String): Option[JVal] = index.get(key)
+  // small objects (the common case) use a linear scan — allocation-free and
+  // faster than building a Map per parsed document
+  private lazy val index: Map[String, JVal] =
+    if (fields.size > 8) fields.toMap else null
+  def get(key: String): Option[JVal] = {
+    if (index ne null) return index.get(key)
+    var i = 0
+    while (i < fields.length) {
+      if (fields(i)._1 == key) return Some(fields(i)._2)
+      i += 1
+    }
+    None
+  }
   def size: Int = fields.size
   def keys: Vector[String] = fields.map(_._1)
 }
 
 object JObj {
-  /** jsonb key order: shorter keys first, ties broken bytewise (unsigned). */
+  /** jsonb key order: shorter keys first, ties broken bytewise (unsigned).
+    * ASCII fast path avoids the per-comparison UTF-8 encode. */
   private[json] def jsonbKeyLt(a: String, b: String): Boolean = {
-    val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
-    if (ab.length != bb.length) ab.length < bb.length
-    else {
-      var i = 0
-      while (i < ab.length) {
-        val x = ab(i) & 0xff; val y = bb(i) & 0xff
-        if (x != y) return x < y
-        i += 1
+    var asciiOnly = true
+    var i = 0
+    while (asciiOnly && i < a.length) { if (a.charAt(i) >= 0x80) asciiOnly = false; i += 1 }
+    i = 0
+    while (asciiOnly && i < b.length) { if (b.charAt(i) >= 0x80) asciiOnly = false; i += 1 }
+    if (asciiOnly) {
+      if (a.length != b.length) a.length < b.length else a.compareTo(b) < 0
+    } else {
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      if (ab.length != bb.length) ab.length < bb.length
+      else {
+        var j = 0
+        while (j < ab.length) {
+          val x = ab(j) & 0xff; val y = bb(j) & 0xff
+          if (x != y) return x < y
+          j += 1
+        }
+        false
       }
-      false
     }
   }
 
-  /** Normalize: last-duplicate-wins, keys in jsonb order. */
+  private def isSorted(fs: Seq[(String, JVal)]): Boolean = {
+    var i = 1
+    while (i < fs.length) {
+      if (!jsonbKeyLt(fs(i - 1)._1, fs(i)._1)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Normalize: last-duplicate-wins, keys in jsonb order. Already-sorted
+    * duplicate-free input (the common case) skips the rebuild entirely. */
   def normalized(raw: Seq[(String, JVal)]): JObj = {
+    if (isSorted(raw)) return new JObj(raw.toVector) // strictly sorted ⇒ no dups
     val lastWins = scala.collection.mutable.LinkedHashMap[String, JVal]()
     raw.foreach { case (k, v) => lastWins(k) = v }
     new JObj(lastWins.toVector.sortWith((x, y) => jsonbKeyLt(x._1, y._1)))
@@ -67,8 +99,16 @@ object Json {
   private val factory = new JsonFactory()
 
   /** Parse JSON text into a normalized JVal tree. Throws JsonParseException on bad input. */
-  def parse(text: String): JVal = {
-    val p = factory.createParser(text)
+  def parse(text: String): JVal = parseWith(factory.createParser(text))
+
+  /** UTF-8 byte parsing — jackson's fastest path; used by the Catalyst
+    * expressions to skip the UTF8String→String copy per row. */
+  def parseBytes(utf8: Array[Byte]): JVal = parseWith(factory.createParser(utf8))
+
+  def parseBytesOpt(utf8: Array[Byte]): Option[JVal] =
+    try Some(parseBytes(utf8)) catch { case _: JsonParseException => None }
+
+  private def parseWith(p: JsonParser): JVal = {
     try {
       val t = p.nextToken()
       if (t == null) throw new JsonParseException("empty input")
@@ -89,7 +129,12 @@ object Json {
     case JsonToken.VALUE_TRUE         => JBool(true)
     case JsonToken.VALUE_FALSE        => JBool(false)
     case JsonToken.VALUE_STRING       => JStr(p.getText)
-    case JsonToken.VALUE_NUMBER_INT   => JNum(BigDecimal(p.getDecimalValue))
+    case JsonToken.VALUE_NUMBER_INT   =>
+      // long fast path (scale-0 BigDecimal) — huge ints still exact via decimal
+      val nt = p.getNumberType
+      if (nt == JsonParser.NumberType.INT || nt == JsonParser.NumberType.LONG)
+        JNum(BigDecimal(p.getLongValue))
+      else JNum(BigDecimal(p.getDecimalValue))
     case JsonToken.VALUE_NUMBER_FLOAT => JNum(BigDecimal(p.getDecimalValue))
     case JsonToken.START_ARRAY =>
       val buf = Vector.newBuilder[JVal]
