@@ -347,6 +347,17 @@ object SparkEntry {
       Similarity.annTopK(emb, "vec_id", "embedding", q.map(_.toFloat), 10, planes = 4)
     }),
 
+    "s_embed_neardup" -> ((spark, dir) => {
+      // no SQL oracle (hash-derived hyperplanes) → rows-only check:
+      // per-bucket candidate statistics for embedding near-dup search
+      implicit val s: SparkSession = spark
+      val emb = t(dir, "embeddings").limit(2000)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("vec"))
+      emb.withColumn("bucket", Similarity.signBucket(col("vec"), 6))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // ---- multimodal plumbing ----------------------------------------------
     "m_payload_meta" -> ((spark, dir) => {
       implicit val s: SparkSession = spark

@@ -166,3 +166,22 @@ class MapColumnSpec extends AnyFunSuite {
     assert(v.exists(_.getAs[String]("observed") == "Additional properties are not allowed"))
   }
 }
+
+/** Rules on nested struct fields via dotted column paths. */
+class StructFieldSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("dotted rule names validate struct fields") {
+    import spark.implicits._
+    val df = Seq((1L, (640, 480)), (2L, (0, 1080)), (3L, (1920, 1080)))
+      .toDF("id", "geom").selectExpr("id", "named_struct('w', geom._1, 'h', geom._2) AS geom")
+    val compiled = SuiteCompiler.compile(
+      """{ "rules": { "geom.w": { "minimum": 1, "maximum": 1920 },
+        |             "geom.h": { "minimum": 1, "maximum": 1080 } } }""".stripMargin)
+    val bad = df.where(!compiled.isValidCol).select("id").collect().map(_.getLong(0))
+    assert(bad.toSeq === Seq(2L))
+    val v = compiled.violations(df.withColumn("doc_id", $"id"), "doc_id").collect()
+    assert(v.map(_.getAs[String]("rule_id")).toSeq === Seq("geom.w:minimum"))
+    assert(v.head.getAs[String]("observed") === "Value is less than minimum")
+  }
+}
