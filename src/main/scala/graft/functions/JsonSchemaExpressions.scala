@@ -6,7 +6,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,9 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * jsonschema_compile + the session regex cache (the compiled java.util.regex
  * Patterns live in a JVM-wide memo, see graft.rules.PosixRegex).
  *
- * CodegenFallback is deliberate: the recursive walker is the rare dynamic-JSON
- * path; the 100TB corpus path uses the native-Column rule compiler
- * (graft.rules.SuiteCompiler) which stays inside whole-stage codegen.
+ * Codegen: the recursive walker itself is a Scala method, but doGenCode emits
+ * a direct call to it via an expression reference — so surrounding projections
+ * KEEP whole-stage codegen (a CodegenFallback expression would force the whole
+ * stage into interpreted mode). The 100TB corpus path uses the native-Column
+ * rule compiler (graft.rules.SuiteCompiler) and never enters this walker.
  *
  * Null semantics: the reference functions are STRICT
  * (json_schema_validate--0.1.0.sql:9,16,23,30) → null in, null out, which is
@@ -35,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * e.g. from_json) rather than a hard error — PostgreSQL would abort the whole
  * statement, which is not an option for a 10^12-row scan.
  */
-abstract class JsonSchemaExpr extends BinaryExpression with CodegenFallback {
+abstract class JsonSchemaExpr extends BinaryExpression {
   override def left: Expression = doc
   override def right: Expression = schema
   def doc: Expression
@@ -70,6 +73,29 @@ abstract class JsonSchemaExpr extends BinaryExpression with CodegenFallback {
       case (Some(d), Some(s)) => compute(d, s)
       case _                  => null
     }
+  }
+
+  /** Emit a direct call to this expression (shipped as a codegen reference
+    * object) so the surrounding stage keeps whole-stage codegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jsonSchemaExpr", this, classOf[JsonSchemaExpr].getName)
+    val docGen = doc.genCode(ctx)
+    val schemaGen = schema.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    val resultTerm = ctx.freshName("jsResult")
+    ev.copy(code = code"""
+      ${docGen.code}
+      ${schemaGen.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = ${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.defaultValue(dataType)};
+      if (!${docGen.isNull} && !${schemaGen.isNull}) {
+        Object $resultTerm = $self.nullSafeEval(${docGen.value}, ${schemaGen.value});
+        if ($resultTerm != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = ($boxed) $resultTerm;
+        }
+      }""")
   }
 }
 
@@ -118,11 +144,14 @@ case class JsonSchemaValidateText(doc: Expression, schema: Expression) extends J
   * string value compiles as a regex. The one check not expressible with
   * built-ins (SURVEY.md §2.5 "UDF/UDAF surface"). */
 case class RegexIsValid(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "regex_is_valid"
   override def nullSafeEval(v: Any): Any =
     graft.rules.PosixRegex.isValid(v.asInstanceOf[UTF8String].toString)
+  // static-forwarder call keeps the surrounding stage in whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.rules.PosixRegex.isValid($c.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

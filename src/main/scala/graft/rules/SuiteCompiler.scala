@@ -71,6 +71,13 @@ object SuiteCompiler {
       rules.map(r => when(r.pass, lit(0)).otherwise(lit(1)))
         .reduceOption(_ + _).getOrElse(lit(0))
 
+    /** Exact per-row violation-entry count (per-element for array rules).
+      * Uses lambda HOFs — keep OFF aggregation hot paths; intended for
+      * reporting jobs that already filter to failing rows. */
+    def exactViolationCountCol: Column =
+      rules.map(r => when(r.pass, lit(0)).otherwise(r.violationCount))
+        .reduceOption(_ + _).getOrElse(lit(0))
+
     /** Exploded typed violations, sorted (doc_id, rule_id) — the deterministic
       * golden-output contract (SURVEY.md §2.2 ordering note). The codegen'd
       * predicate filter runs FIRST so violation-struct construction (allocation
