@@ -33,17 +33,21 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
       .where(col("cnt") > 1)
 
-  /** MinHash signature: k independent hash family members via seeded xxhash64;
-    * sig[s] = min over shingles of hash(shingle, s). Implemented as ONE
-    * aggregate pass over the shingle array (elementwise running min of the
-    * k-vector) so shingle strings are built once per row, not once per seed —
-    * Catalyst's projection collapsing would otherwise inline the shingle
-    * expression into all k lambda bodies. Pure map-side. */
-  def minhashSignature(text: Column, numShingles: Int, k: Int): Column =
-    aggregate(shingles(text, numShingles), array_repeat(lit(Long.MaxValue), k),
-      (acc, x) => zip_with(acc,
-        transform(sequence(lit(1), lit(k)), s => xxhash64(x, s)),
-        (a, h) => least(a, h)))
+  /** MinHash signature: k independent hash family members;
+    * sig[s] = min over shingles of hash_s(shingle). Each shingle STRING is
+    * hashed exactly once (xxhash64); the k family members are derived from
+    * that 64-bit value with cheap long re-mixes — one aggregate pass with an
+    * elementwise running min of the k-vector. (A naive per-seed formulation
+    * re-hashes every shingle string k times; Catalyst's projection collapsing
+    * would also inline the shingle construction into all k lambda bodies.)
+    * Pure map-side. */
+  def minhashSignature(text: Column, numShingles: Int, k: Int): Column = {
+    val baseHashes = transform(shingles(text, numShingles), x => xxhash64(x))
+    aggregate(baseHashes, array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(k)), s => xxhash64(h, s)),
+        (a, hv) => least(a, hv)))
+  }
 
   /**
    * MinHash-LSH candidate pairs: signatures split into `bands` bands of
@@ -103,6 +107,42 @@ object Dedup {
     val sa = array_distinct(shingles(textA, n)); val sb = array_distinct(shingles(textB, n))
     val inter = size(array_intersect(sa, sb))
     inter.cast(DoubleType) / (size(sa) + size(sb) - inter)
+  }
+
+  /**
+   * Duplicate clusters from candidate pairs: connected components by
+   * iterative min-label propagation. Each iteration is one equi-join +
+   * aggregation; it converges in O(component diameter) rounds — near-dup
+   * clusters are shallow (usually diameter ≤ 2-3), so the loop exits early
+   * via the convergence check. Returns (id, cluster) with cluster = the
+   * minimum id of the component. Scale note: this is the standard
+   * large-graph CC recipe (no driver-side graph, all joins), the same shape
+   * GraphX/GraphFrames use under the hood.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min("cluster").as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (col("nmin").isNotNull && col("nmin") < col("cluster")).as("changed"))
+      updated.cache()
+      val changed = updated.where(col("changed")).count()
+      labels.unpersist()
+      labels = updated.select("id", "cluster").cache()
+      converged = changed == 0
+      iter += 1
+    }
+    labels
   }
 
   /** Embedding-cosine near-duplicates: brute within LSH sign buckets. See

@@ -165,3 +165,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 }
+
+class DedupClusterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("duplicate clusters: connected components over candidate pairs") {
+    // components: {1,2,3,4} (chain), {7,8}, singletons absent from edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("end-to-end: near-dup pairs -> clusters -> keep one doc per cluster") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "the quick brown fox jumps over the lazy dog"),
+      (20L, "entirely different text about spark and data processing")
+    ).toDF("id", "text")
+    val pairs = Dedup.nearDuplicates(docs, "id", "text", numShingles = 2,
+      bands = 8, rowsPerBand = 2, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs)
+    // dedupe: keep min id per cluster, plus docs in no cluster
+    val keep = docs.join(clusters, docs("id") === clusters("id"), "left")
+      .where(clusters("cluster").isNull || docs("id") === clusters("cluster"))
+      .select(docs("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(keep.toSeq === Seq(10L, 20L))
+  }
+}

@@ -200,3 +200,22 @@ class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plain === salted)
   }
 }
+
+class TypedValidationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("typed Dataset[SequenceRow] -> Dataset[ViolationRow] boundary") {
+    import graft.corpus.{CorpusGen, TypedValidation}
+    val ds = TypedValidation.corpus(spark, CorpusGen.Config(rows = 500, badSourceEvery = 100))
+    val compiled = graft.rules.SuiteCompiler.compile(
+      """{ "rules": { "source": { "enum": ["web","books","code","wiki"] } } }""")
+    val v: org.apache.spark.sql.Dataset[graft.rules.ViolationRow] =
+      TypedValidation.violations(ds, compiled)
+    val rows = v.collect()
+    assert(rows.length === 4) // rows 100,200,300,400
+    assert(rows.forall(_.observed == "Value not in enum"))
+    assert(rows.forall(_.rule_id == "source:enum"))
+    // typed field access compiles and round-trips
+    assert(rows.map(_.doc_id).distinct.length === 4)
+  }
+}
