@@ -51,7 +51,7 @@ object Bench {
 
   /** Scalar JSON validation throughput (the reference's CHECK-constraint hot
     * path): is_valid over DynDocs small generated JSON documents. */
-  val DynDocs = 1000000L
+  val DynDocs = 4000000L
   private def measureDynamic(n: Int): Double = {
     import org.apache.spark.sql.functions._
     import graft.functions.functions._
@@ -139,7 +139,7 @@ object Bench {
         val s = session(n)
         var rows = 0L
         rows = validationJob(s, corpusPath) // warm FS cache + JIT + codegen
-        val t = (1 to 2).map(_ => timeSec(validationJob(s, corpusPath))).min
+        val t = (1 to 3).map(_ => timeSec(validationJob(s, corpusPath))).min
         s.stop()
         (t, rows)
       }
@@ -174,7 +174,7 @@ object Bench {
          |parquet corpus scan -> compiled ValidationSuite predicates -> per-partition
          |verdicts + global salted uniqueness + column stats (HLL++) + drift
          |histogram — on identical input ($rows rows, deterministic generator,
-         |corpus + shuffle dirs on tmpfs) at three parallelism levels, min of 2
+         |corpus + shuffle dirs on tmpfs) at three parallelism levels, min of 3
          |runs after a warm-up pass.
          |
          || metric | local[2] (N) | local[8] (4N) | local[32] |
