@@ -308,6 +308,17 @@ object SparkEntry {
         .orderBy("lang", "predicted")
     }),
 
+    "t_quality_signals" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      t(dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TextOps.stopwordCount(col("text")).cast(LongType).as("stopwords"),
+          size(array_distinct(split(lower(col("text")), "\\s+"))).cast(LongType).as("distinct_words"),
+          TextOps.punctCount(col("text")).cast(LongType).as("punct"))
+        .orderBy("doc_id")
+    }),
+
     "t_fingerprint" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       val ws = split(lower(col("text")), "\\s+")
@@ -545,6 +556,16 @@ object SparkEntry {
         |       THEN 'en' ELSE 'und' END AS predicted,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "t_quality_signals" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                  'that','for','on','with','as'))) AS BIGINT) AS stopwords,
+        |  CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS distinct_words,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
       """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words

@@ -98,3 +98,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** UTF-8 byte-length semantics: jsonb string length = BYTES, not chars
+  * (minLength/maxLength use the jsonb string len, c:929-961). */
+class ByteLengthSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.json.Json
+  import graft.rules.JsonSchemaValidator
+
+  test("multi-byte characters count as bytes in min/maxLength") {
+    // "héllo" = 6 UTF-8 bytes, 5 chars
+    val doc = Json.parse("\"héllo\"")
+    assert(JsonSchemaValidator.isValid(doc, Json.parse("""{"minLength":6}""")))
+    assert(!JsonSchemaValidator.isValid(doc, Json.parse("""{"maxLength":5}""")))
+    val errs = JsonSchemaValidator.violations(doc, Json.parse("""{"maxLength":5}"""))
+    assert(errs.head.message === "String length 6 exceeds maxLength 5")
+  }
+
+  test("columnar minLength matches byte semantics via octet_length") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("héllo", 1)).toDF("s", "id")
+    val compiled = graft.rules.SuiteCompiler.compile("""{"rules":{"s":{"maxLength":5}}}""")
+    val v = compiled.violations(df.withColumn("doc_id", $"id"), "doc_id").collect()
+    assert(v.head.getAs[String]("observed") === "String length 6 exceeds maxLength 5")
+  }
+}
