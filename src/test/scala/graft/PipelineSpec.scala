@@ -219,3 +219,32 @@ class TypedValidationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.map(_.doc_id).distinct.length === 4)
   }
 }
+
+/** Bucketing for co-located joins: two tables bucketed+sorted on the join key
+  * join WITHOUT any shuffle exchange — the physical plan the 100TB
+  * corpus-vs-metadata join should have (pre-partitioning both sides once
+  * amortizes every later join). */
+class BucketedJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables join with zero Exchange operators") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
+    try {
+      val df = graft.corpus.CorpusGen.generate(spark, graft.corpus.CorpusGen.Config(rows = 2000))
+      df.select("doc_id", "n_tok").write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("graft_bucketed_a")
+      df.select("doc_id", "source").write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("graft_bucketed_b")
+      val joined = spark.table("graft_bucketed_a")
+        .join(spark.table("graft_bucketed_b"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 2000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
+    }
+  }
+}
