@@ -58,6 +58,26 @@ object TableChecks {
     df.groupBy(b.as("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Token-frequency histogram over the whole corpus: explode + two-phase
+    * count (map-side combine makes the shuffle proportional to DISTINCT
+    * tokens per partition, not total tokens). The standard vocabulary
+    * coverage check for a tokenized training corpus. */
+  def tokenFrequencies(df: DataFrame, tokensCol: String): DataFrame =
+    df.select(explode(col(tokensCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Out-of-vocabulary stats: rows containing any token outside [0, vocabSize)
+    * plus the total bad-token count — single map-side pass, no explode. */
+  def oovStats(df: DataFrame, tokensCol: String, vocabSize: Int): DataFrame = {
+    val t = col(tokensCol)
+    val badCount = size(filter(t, x => x < 0 || x >= vocabSize))
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(array_min(t) < 0 || array_max(t) >= vocabSize, 1).otherwise(0)).as("rows_with_oov"),
+      sum(when(array_min(t) < 0 || array_max(t) >= vocabSize, badCount).otherwise(0)).as("oov_tokens"),
+      sum(size(t)).as("total_tokens"))
+  }
+
   final case class Drift(psi: Double, ks: Double)
 
   /** PSI + two-sample KS from two bucket-count vectors (tiny: O(buckets) rows,

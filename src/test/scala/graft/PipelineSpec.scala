@@ -248,3 +248,24 @@ class BucketedJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class TokenChecksSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("token frequencies and OOV stats over the corpus") {
+    import org.apache.spark.sql.functions._
+    val df = graft.corpus.CorpusGen.generate(spark, graft.corpus.CorpusGen.Config(
+      rows = 1000, maxTok = 64, badTokenEvery = 100))
+    val freq = graft.pipeline.TableChecks.tokenFrequencies(df, "tokens")
+    val totalFromFreq = freq.agg(sum("cnt")).head().getLong(0)
+    val totalDirect = df.agg(sum(size(col("tokens")))).head().getLong(0)
+    assert(totalFromFreq === totalDirect)
+    assert(freq.where(col("token") >= 50257).count() === 1) // the injected bad token value
+
+    val oov = graft.pipeline.TableChecks.oovStats(df, "tokens", 50257).head()
+    assert(oov.getAs[Long]("n_rows") === 1000)
+    assert(oov.getAs[Long]("rows_with_oov") === 9) // rows 100,200,...,900
+    assert(oov.getAs[Long]("oov_tokens") === 9)
+    assert(oov.getAs[Long]("total_tokens") === totalDirect)
+  }
+}
