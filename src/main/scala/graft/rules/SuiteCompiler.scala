@@ -90,6 +90,20 @@ object SuiteCompiler {
         .orderBy("doc_id", "rule_id")
     }
 
+    /** Violation sample capped per rule — at 10^12-row scale a failing rule
+      * can emit billions of entries; reports need the first `perRule`
+      * examples, not all of them. One window shuffle over the (already
+      * filtered) failing rows only. */
+    def violationsSample(df: DataFrame, keyCol: String, perRule: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("rule_id").orderBy("doc_id")
+      violations(df, keyCol)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= perRule)
+        .drop("__rn")
+        .orderBy("doc_id", "rule_id")
+    }
+
     /** Per-partition verdict: one row per partition value with per-rule pass
       * flags and violation counts — all map-side partial aggregation, one
       * shuffle of O(partitions) rows. */

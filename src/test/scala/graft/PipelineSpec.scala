@@ -269,3 +269,26 @@ class TokenChecksSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(oov.getAs[Long]("total_tokens") === totalDirect)
   }
 }
+
+class ProdShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("prod-shape corpus (maxTok 8192) validates and samples violations") {
+    val df = graft.corpus.CorpusGen.generate(spark, graft.corpus.CorpusGen.Config(
+      rows = 200, maxTok = 8192, badSourceEvery = 10))
+    val compiled = graft.rules.SuiteCompiler.compile(
+      """{ "rules": {
+        |  "tokens": { "minItems": 1, "maxItems": 8192,
+        |              "items": { "minimum": 0, "exclusiveMaximum": 50257 } },
+        |  "n_tok":  { "minimum": 1, "maximum": 8192, "equalsExpr": "size(tokens)" },
+        |  "source": { "enum": ["web","books","code","wiki"] } } }""".stripMargin)
+    val verdicts = compiled.verdicts(df, Seq("part")).collect()
+    assert(verdicts.map(_.getAs[Long]("n_rows")).sum === 200)
+    // 19 source violations; capped sample returns at most 5 per rule
+    val sample = compiled.violationsSample(df, "doc_id", perRule = 5).collect()
+    assert(sample.length === 5)
+    assert(sample.forall(_.getAs[String]("rule_id") == "source:enum"))
+    val full = compiled.violations(df, "doc_id").count()
+    assert(full === 19)
+  }
+}
