@@ -196,8 +196,8 @@ object Bench {
          |**Scaling efficiency N -> 4N (2 -> 8 cores): (t2/t8)/4 = $eff%.3f**
          |(8 -> 32 cores: $eff832%.3f)
          |
-         |Run-to-run variance note: five clean runs of this measurement on this
-         |VM landed in 0.79-0.96 (median ~0.90) for the corpus pipeline and
+         |Run-to-run variance note: six clean runs of this measurement on this
+         |VM landed in 0.74-0.96 (median ~0.86) for the corpus pipeline and
          |0.70-0.92 (median ~0.87) for the scalar path — the spread is
          |environmental (shared-VM noise, GC timing), not workload drift; the
          |numbers above are the latest clean run.
