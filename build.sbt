@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to this process's stdout/stderr — no "[info] "
+// prefix. The bench/verify driver parses the contract JSON line from stdout;
+// sbt's logger prefix made it unparseable (BENCH_r01 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -170,7 +170,14 @@ object Bench {
     if (!skipScaling) () else spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"$scalingJson%s}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"$scalingJson%s}"""
+    // belt & braces for the driver: the contract line goes to stdout (bare —
+    // build.sbt sets run/outputStrategy := StdoutOutput so sbt adds no
+    // "[info] " prefix) AND to a known file
+    new java.io.File("BENCH").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH/last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
   }
 
   private def writeBaselineMd(rows: Long, t2: Double, t8: Double, t32: Double,

@@ -136,16 +136,22 @@ object SparkEntry {
     }),
 
     // ---- relational operator checklist (SURVEY.md §2.5) ------------------
+    // Money columns are parquet DOUBLE; CAST(double AS DECIMAL) rounds
+    // differently across engines (Spark: shortest-decimal-string HALF_UP;
+    // DuckDB: binary-double rounding). Both engines DO agree on
+    // round(x*100) of the same double (ties sit exactly on representable
+    // .5 values, rounded away from zero by both), so all money math is
+    // integer cents — exact, overflow-free BIGINT, hash-identical.
     "q1_pricing" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
+      val epCents = round(col("l_extendedprice") * 100).cast(LongType)
+      val discBp = round(col("l_discount") * 100).cast(LongType)
       t(dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(BigDecimal(1).underlying).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          sum(round(col("l_quantity")).cast(LongType)).cast(LongType).as("sum_qty"),
+          sum(epCents).cast(LongType).as("sum_base_cents"),
+          sum(epCents * (lit(100L) - discBp)).cast(LongType).as("sum_disc_price_scaled"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -155,22 +161,22 @@ object SparkEntry {
       val cust = t(dir, "customer").where(col("c_custkey") % 10 === 0)
       val orders = t(dir, "orders")
       val li = t(dir, "lineitem")
+      val epCents = round(col("l_extendedprice") * 100).cast(LongType)
+      val discBp = round(col("l_discount") * 100).cast(LongType)
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
         .groupBy("o_orderkey")
-        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(BigDecimal(1).underlying).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-          .cast(DecimalType(38, 4)).as("revenue"))
-        .orderBy(desc("revenue"), col("o_orderkey"))
+        .agg(sum(epCents * (lit(100L) - discBp)).cast(LongType).as("revenue_scaled"))
+        .orderBy(desc("revenue_scaled"), col("o_orderkey"))
         .limit(10)
     }),
 
     "q_window_rank" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
-      val price = col("o_totalprice").cast(DecimalType(18, 2))
-      val w = Window.partitionBy("o_custkey").orderBy(price.desc, col("o_orderkey"))
+      val priceCents = round(col("o_totalprice") * 100).cast(LongType)
+      val w = Window.partitionBy("o_custkey").orderBy(priceCents.desc, col("o_orderkey"))
       t(dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), price.as("totalprice"),
+        .select(col("o_custkey"), col("o_orderkey"), priceCents.as("totalprice_cents"),
           rank().over(w).as("rnk"))
         .where(col("rnk") <= 3)
         .orderBy("o_custkey", "rnk", "o_orderkey")
@@ -181,7 +187,7 @@ object SparkEntry {
       t(dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("qty"))
+          sum(round(col("l_quantity")).cast(LongType)).cast(LongType).as("qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("qty"))
@@ -391,10 +397,15 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // null-safe: Spark rule predicates are guarded (NULL column value = pass,
+    // mirroring the reference's absent-property skip, c:824) — the oracle must
+    // not let SQL NULL propagation diverge if the data ever contains nulls
     "v_is_valid_counts" ->
-      """SELECT (doc_id IS NOT NULL AND lang IN ('de','en','es','fr','zh')
-        |        AND regexp_matches(source, '^src[0-9]+$')
-        |        AND n_chars >= 1 AND n_chars <= 300 AND strlen(text) >= 50) AS valid,
+      """SELECT (doc_id IS NOT NULL
+        |        AND (lang IS NULL OR lang IN ('de','en','es','fr','zh'))
+        |        AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
+        |        AND (n_chars IS NULL OR (n_chars >= 1 AND n_chars <= 300))
+        |        AND (text IS NULL OR strlen(text) >= 50)) AS valid,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1 ORDER BY valid""".stripMargin,
 
@@ -467,34 +478,35 @@ object SparkEntry {
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_scaled,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT o_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_scaled
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey AND c_custkey % 10 = 0
-        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+        |GROUP BY o_orderkey ORDER BY revenue_scaled DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q_window_rank" ->
       """SELECT * FROM (
-        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
         |         CAST(rank() OVER (PARTITION BY o_custkey
-        |              ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS INTEGER) AS rnk
+        |              ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS INTEGER) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
