@@ -275,6 +275,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "d_neardup_lsh" -> ((spark, dir) => {
+      // The REAL near-dup scale path: MinHash signatures → band-bucket
+      // equi-join (candidates only; the all-pairs set is never materialized)
+      // → exact Jaccard verification on candidate pairs. The oracle is the
+      // exhaustive all-pairs Jaccard in DuckDB: with 16 bands × 4 rows the
+      // LSH miss probability at the data's lowest true-dup similarity
+      // (j≈0.77) is <1e-3, and the hash family is deterministic, so the
+      // candidate-pruned result equals the exact result on this corpus.
+      implicit val s: SparkSession = spark
+      Dedup.nearDuplicates(t(dir, "documents"), "doc_id", "text",
+          numShingles = 3, bands = 16, rowsPerBand = 4, threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast(LongType).as("inter"), col("uni").cast(LongType).as("uni"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "d_minhash_stats" -> ((spark, dir) => {
       // no SQL oracle (hash-family specific) → rows-only check
       implicit val s: SparkSession = spark
@@ -356,12 +372,33 @@ object SparkEntry {
     }),
 
     "s_ann_lsh" -> ((spark, dir) => {
-      // no SQL oracle (hash-derived hyperplanes) → rows-only check
+      // The indexed ANN scale path, oracle-checked END TO END: the LSH plane
+      // family is exact-integer and SQL-expressible (SignBucket.planeWeight),
+      // so DuckDB reproduces bucket assignment, the Hamming<=2 multi-probe
+      // candidate set, AND the exact scaled-int dot top-10 — the whole
+      // pipeline, not just the final ranking. The index is write-once
+      // partitionBy(bucket); the lookup reads ONLY the probed partitions
+      // (partition pruning — at real scale planes is 16+, so probing covers
+      // ~0.2% of the corpus; 6 planes here because the test corpus is tiny).
       implicit val s: SparkSession = spark
+      import graft.functions.SignBucket
+      val planes = 6; val probeBits = 2
       val emb = t(dir, "embeddings")
-      val q = emb.where(col("vec_id") === 1)
+      val idx = s"/tmp/graft-ann-index-${math.abs(dir.hashCode)}-p$planes"
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+        Similarity.buildIndex(emb, "vec_id", "embedding", planes, idx)
+      val qd = emb.where(col("vec_id") === 1)
         .select(col("embedding").cast(ArrayType(DoubleType))).head().getSeq[Double](0)
-      Similarity.annTopK(emb, "vec_id", "embedding", q.map(_.toFloat), 10, planes = 4)
+      val buckets = SignBucket.probeBuckets(SignBucket.compute(qd.toArray, planes),
+        planes, probeBits)
+      val qlit = array(qd.map(v => lit(SignBucket.scaleComponent(v))): _*)
+      val scaled = transform(col("vec"), x => round(x * 1e7).cast(LongType))
+      val dot = aggregate(zip_with(scaled, qlit, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      spark.read.parquet(idx)
+        .where(col("bucket").isin(buckets: _*))
+        .select(col("id").as("vec_id"), dot.as("dot_scaled"))
+        .orderBy(desc("dot_scaled"), col("vec_id"))
+        .limit(10)
     }),
 
     "s_embed_neardup" -> ((spark, dir) => {
@@ -554,6 +591,25 @@ object SparkEntry {
         |FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
 
+    "d_neardup_lsh" ->
+      """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+        |            FROM documents),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+        |      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |gs AS (SELECT DISTINCT doc_id, gram FROM g),
+        |sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY 1),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |      FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+        |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "t_token_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
@@ -597,6 +653,32 @@ object SparkEntry {
 
     "m_payload_meta" ->
       """SELECT doc_id, md5(text) AS digest, CAST(strlen(text) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // full-pipeline ANN oracle: integer plane weights (Murmur-style mix with
+    // only *, %, xor, >>), int64-scaled components, bucket bits, Hamming<=2
+    // multi-probe, exact integer dot top-10 — byte-for-byte what Spark runs
+    "s_ann_lsh" ->
+      """WITH w AS (
+        |  SELECT p, d, (xor(h2, h2 >> 13) % 1000) - 500 AS wt FROM (
+        |    SELECT p, d, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h2 FROM (
+        |      SELECT tp.range AS p, td.range AS d,
+        |             ((tp.range * 65537 + td.range + 17) * 1664525) % 4294967296 AS h1
+        |      FROM range(0, 6) tp, range(0, 64) td))),
+        |sv AS (SELECT vec_id, i - 1 AS d,
+        |              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS x
+        |       FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+        |proj AS (SELECT vec_id, p, sum(x * wt) AS pr
+        |         FROM sv JOIN w ON w.d = sv.d GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY 1),
+        |qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 1),
+        |qv AS (SELECT d, x AS qx FROM sv WHERE vec_id = 1),
+        |cand AS (SELECT b.vec_id FROM bkt b, qb
+        |         WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2)
+        |SELECT sv.vec_id, CAST(sum(sv.x * qv.qx) AS BIGINT) AS dot_scaled
+        |FROM sv JOIN qv ON qv.d = sv.d
+        |WHERE sv.vec_id IN (SELECT vec_id FROM cand)
+        |GROUP BY 1 ORDER BY dot_scaled DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -89,7 +89,7 @@ object Dedup {
       .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
 
   /** 64-bit SimHash of the word stream: per-bit majority vote of word hashes.
@@ -129,6 +129,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint() // edges are re-joined every round: pin once
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var iter = 0
@@ -141,10 +142,14 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           (col("nmin").isNotNull && col("nmin") < col("cluster")).as("changed"))
-      updated.cache()
-      val changed = updated.where(col("changed")).count()
-      labels.unpersist()
-      labels = updated.select("id", "cluster").cache()
+      // localCheckpoint (eager) truncates lineage every round — without it the
+      // self-referential join plan doubles per iteration and deep components
+      // re-resolve the whole history; the checkpoint also serves as the cache.
+      // The convergence probe is one count on the materialized checkpoint
+      // blocks (no recompute).
+      val pinned = updated.localCheckpoint()
+      val changed = pinned.where(col("changed")).count()
+      labels = pinned.select("id", "cluster")
       converged = changed == 0
       iter += 1
     }

@@ -26,17 +26,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component p[d] in [-0.5, 0.5). */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit("plane"), lit(p), d), lit(1000L)).cast(DoubleType) - 500.0) / 1000.0
+  /** LSH sign bucket: one bit per hyperplane = sign of <scaled(vec), plane>.
+    * Codegen'd custom expression, exact-integer arithmetic (plane weights and
+    * int64-scaled components — SQL-oracle-reproducible, no float sign
+    * boundary nondeterminism) — bit-identical to [[signBucketHof]]. */
+  def signBucket(vec: Column, planes: Int): Column =
+    graft.functions.SignBucket(vec, planes)
 
-  /** LSH sign bucket: one bit per hyperplane = sign of <vec, plane>. */
-  def signBucket(vec: Column, planes: Int): Column = {
+  /** Deterministic integer plane weight in [-500, 500) as Column arithmetic
+    * (same Murmur-style finalizer as SignBucket.planeWeight). */
+  private def planeWeightCol(p: Int, d: Column): Column = {
+    val m = lit(4294967296L)
+    val h1 = pmod((d.cast(LongType) + lit(p.toLong * 65537L + 17L)) * lit(1664525L), m)
+    val h2 = pmod(h1.bitwiseXOR(shiftright(h1, 16)) * lit(747796405L), m)
+    val h3 = h2.bitwiseXOR(shiftright(h2, 13))
+    pmod(h3, lit(1000L)) - lit(500L)
+  }
+
+  /** Built-ins-only formulation (aggregate/zip_with/transform lambdas) —
+    * kept as the cross-check oracle for the custom expression; the HOFs are
+    * CodegenFallback so this runs interpreted per element per plane. */
+  def signBucketHof(vec: Column, planes: Int): Column = {
+    val scaled = transform(vec, x => round(x * 1e7).cast(LongType))
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
-          (x, w) => x * w),
-        lit(0.0d), (s, x) => s + x)
+      val w = transform(sequence(lit(0), size(vec) - 1), d => planeWeightCol(p, d))
+      val proj = aggregate(zip_with(scaled, w, (x, y) => x * y), lit(0L), (s, x) => s + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -52,19 +66,49 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: scan only vectors in the query's LSH bucket, then exact
-    * cosine + top-k within the pruned set. `planes` trades recall for speed. */
+  /** IVF-style ANN without a persisted index: scan-time bucket filter, then
+    * exact cosine + top-k within the pruned set. One full pass per query —
+    * use [[buildIndex]] + [[annTopKIndexed]] for repeated lookups at scale. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, planes: Int = 6): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
-    val dfB = df.withColumn("__bucket", signBucket(col(vecCol).cast(ArrayType(DoubleType)), planes))
-    // query bucket computed once via a literal-only expression
-    val qBucketRow = df.sparkSession.range(1)
-      .select(signBucket(q, planes).as("b")).head()
-    val qBucket = qBucketRow.getLong(0)
-    dfB.where(col("__bucket") === qBucket)
+    val qd = query.map(_.toDouble)
+    val q = array(qd.map(lit(_)): _*)
+    val qBucket = graft.functions.SignBucket.compute(qd.toArray, planes)
+    df.withColumn("__bucket", signBucket(col(vecCol).cast(ArrayType(DoubleType)), planes))
+      .where(col("__bucket") === qBucket)
       .select(col(idCol), cosine(col(vecCol).cast(ArrayType(DoubleType)), q).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Persist the ANN index: bucket computed ONCE (codegen'd expression),
+   * written partitionBy(bucket) so a lookup is a partition-pruned scan of
+   * the probed buckets only — never the full corpus. At 100 TB this is the
+   * write-once/read-many shape: the per-query cost is O(corpus / 2^planes ×
+   * probed buckets), not O(corpus).
+   */
+  def buildIndex(df: DataFrame, idCol: String, vecCol: String,
+                 planes: Int, path: String): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .withColumn("bucket", signBucket(col("vec"), planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Multi-probe lookup against a [[buildIndex]] table: reads ONLY the
+    * partitions of the query's bucket plus its Hamming-<=probeBits neighbor
+    * buckets (partition pruning — verify with .explain: PartitionFilters).
+    * Returns exact cosine top-k within the probed candidate set. */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     query: Seq[Double], k: Int, planes: Int,
+                     probeBits: Int = 1): DataFrame = {
+    import graft.functions.SignBucket
+    val qBucket = SignBucket.compute(query.toArray, planes)
+    val buckets = SignBucket.probeBuckets(qBucket, planes, probeBits)
+    val q = array(query.map(lit(_)): _*)
+    spark.read.parquet(indexPath)
+      .where(col("bucket").isin(buckets: _*))
+      .select(col("id"), cosine(col("vec"), q).as("cosine"))
+      .orderBy(desc("cosine"), col("id"))
       .limit(k)
   }
 }
