@@ -102,6 +102,10 @@ object ValidationPipeline {
     val manifestPath = s"$outDir/manifest.json"
     var manifest = Manifest.loadOrEmpty(manifestPath, snapshotId, compiled.suiteHash)
 
+    // fresh lineage (new snapshot or rule set, or first run): clear any stale
+    // violations so outputs from different runs never mix
+    if (manifest.entries.isEmpty) deleteRecursively(new java.io.File(s"$outDir/violations"))
+
     val corpus = spark.read.parquet(corpusPath)
     val allParts = corpus.select("part").distinct().collect().map(_.getInt(0)).sorted
     val todo = allParts.filterNot(manifest.isDone)
@@ -113,8 +117,15 @@ object ValidationPipeline {
       val slice = corpus.where(col("part").isin(batch.map(Integer.valueOf): _*))
       val verdictRows = compiled.verdicts(slice, Seq("part")).collect()
 
-      compiled.violations(slice, keyCol)
-        .write.mode("append").parquet(s"$outDir/violations")
+      // partitionBy(part) + DYNAMIC partition overwrite: a batch replayed
+      // after a crash-before-checkpoint REPLACES its partitions' violations
+      // instead of appending duplicates (exactly-once output per partition,
+      // keyed by the same lineage the manifest records)
+      compiled.violations(slice, keyCol, Seq("part"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(s"$outDir/violations")
 
       val entries = verdictRows.map { r =>
         PartitionEntry(
@@ -137,5 +148,10 @@ object ValidationPipeline {
     }
 
     RunResult(manifest.entries.values.toSeq.sortBy(_.part), skipped, dupCount)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 }

@@ -18,8 +18,17 @@ import java.util.regex.{Pattern, PatternSyntaxException}
  * 256-byte key-truncation bug (deliberately not reproduced, SURVEY.md §4).
  * Invalid patterns are cached as None: the reference silently skips checks
  * whose pattern fails to compile (json_schema_validate.c:972).
+ *
+ * The cache is SIZE-BOUNDED: format:"regex" and the per-row RegexIsValid
+ * expression feed DOCUMENT-derived strings through here, and the reference
+ * compiles-and-frees doc-supplied regexes (c:1816-1829) rather than caching
+ * them — an unbounded map would leak executor memory on a long-lived scan
+ * over high-cardinality data. Schema-originated patterns (a small fixed set,
+ * compiled at suite-build time) always land in the cache first; once the cap
+ * is reached, further misses compile without inserting.
  */
 object PosixRegex {
+  private val MaxEntries = 4096
   private val cache = new ConcurrentHashMap[String, Option[Pattern]]()
 
   private val posixClasses = Map(
@@ -43,7 +52,7 @@ object PosixRegex {
     val result =
       try Some(Pattern.compile(translate(posix)))
       catch { case _: PatternSyntaxException => None }
-    cache.putIfAbsent(posix, result)
+    if (cache.size < MaxEntries) cache.putIfAbsent(posix, result)
     result
   }
 

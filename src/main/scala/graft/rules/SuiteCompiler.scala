@@ -82,11 +82,19 @@ object SuiteCompiler {
       * golden-output contract (SURVEY.md §2.2 ordering note). The codegen'd
       * predicate filter runs FIRST so violation-struct construction (allocation
       * heavy) only touches failing rows. */
-    def violations(df: DataFrame, keyCol: String): DataFrame = {
+    def violations(df: DataFrame, keyCol: String): DataFrame =
+      violations(df, keyCol, Nil)
+
+    /** As [[violations]] but retaining `keepCols` (e.g. the partition column,
+      * so sinks can write partitionBy(part) and replay idempotently). */
+    def violations(df: DataFrame, keyCol: String, keepCols: Seq[String]): DataFrame = {
+      val keep = keepCols.map(col)
       val withV = df.where(!isValidCol)
         .withColumn("__v", violationsCol)
-        .select(col(keyCol).cast(StringType).as("doc_id"), explode(col("__v")).as("v"))
-      withV.select(col("doc_id"), col("v.rule_id"), col("v.observed"), col("v.expected"))
+        .select(keep ++ Seq(col(keyCol).cast(StringType).as("doc_id"),
+          explode(col("__v")).as("v")): _*)
+      withV.select(keep ++ Seq(col("doc_id"), col("v.rule_id"),
+          col("v.observed"), col("v.expected")): _*)
         .orderBy("doc_id", "rule_id")
     }
 
@@ -155,10 +163,12 @@ object SuiteCompiler {
           case Some(JStr(ref)) =>
             val resolved = resolvePointer(ref, root)
               .getOrElse(throw new IllegalArgumentException(s"Could not resolve $$ref $ref"))
-            val merged = JObj.normalized(
-              resolveRefs(resolved, root, depth + 1).asInstanceOf[JObj].fields ++
-              o.fields.filterNot(_._1 == "$ref"))
-            merged
+            val target = resolveRefs(resolved, root, depth + 1) match {
+              case t: JObj => t
+              case other => throw new IllegalArgumentException(
+                s"$$ref $ref must resolve to a schema object, got ${Json.render(other)}")
+            }
+            JObj.normalized(target.fields ++ o.fields.filterNot(_._1 == "$ref"))
           case _ =>
             JObj.normalized(o.fields.map { case (k, v) => k -> resolveRefs(v, root, depth + 1) })
         }
@@ -323,9 +333,14 @@ object SuiteCompiler {
         format_string(s"Array has %d items, maximum is $mi", size(c)), m.toString) }
     s.get("uniqueItems").foreach {
       case JBool(true) =>
-        // O(n) vs the reference's O(n²) pairwise scan — same verdict for scalar
-        // element types; arrays-of-containers are vacuous (deep equality TODO c:1338)
-        rule("uniqueItems", size(array_distinct(c)) === size(c),
+        // O(n) vs the reference's O(n²) pairwise scan — same verdict for
+        // scalar element types. The reference's jsonb_values_equal never
+        // equates containers (c:1287-1344), so arrays-of-containers must be
+        // VACUOUS here too: typeof() names the element type at runtime
+        // (constant-folds per fixed schema), gating array_distinct's
+        // structural equality off for container elements.
+        val containerElems = typeof(c).rlike("^array<(array|struct|map)")
+        rule("uniqueItems", containerElems || size(array_distinct(c)) === size(c),
           lit("Array items are not unique"), "true")
       case _ => ()
     }
@@ -415,9 +430,42 @@ object SuiteCompiler {
       }
       ap match {
         case JBool(false) =>
-          rule("additionalProperties", forall(map_keys(c), k => exempt(k)),
-            lit("Additional properties are not allowed"), "false")
-        case _ => () // true or schema: schema-valued AP needs per-value typing; vacuous here
+          // reject: one violation PER offending key, reference message format
+          // "Additional property '%s' is not allowed" (c:1459-1460)
+          val id = s"$colName:additionalProperties"
+          val offending = filter(map_keys(c), k => !exempt(k))
+          val pass = guarded(size(offending) === 0)
+          val viols = when(!pass, transform(offending, k => struct(
+              lit(id).as("rule_id"),
+              format_string("Additional property '%s' is not allowed", k).as("observed"),
+              lit("false").as("expected"))))
+            .otherwise(array().cast(violationsType))
+          out += CompiledRule(id, pass, viols, size(offending))
+        case apSchema: JObj =>
+          // schema-valued: non-exempt VALUES are validated against the
+          // sub-schema (c:1465-1476; walker parity JsonSchemaValidator
+          // additionalProperties branch). One violation per (key, failed
+          // check), path extended with the key like the reference's
+          // childPath(base, key).
+          elemPredicate(apSchema).foreach { case (valPred, msgs) =>
+            val id = s"$colName:additionalProperties"
+            val failing = filter(map_entries(c),
+              e => !exempt(e.getField("key")) && !coalesce(valPred(e.getField("value")), lit(true)))
+            val pass = guarded(size(failing) === 0)
+            val viols = when(!pass, flatten(transform(failing, e => {
+                val perCheck = msgs.map { case (msg, pred) =>
+                  when(!coalesce(pred(e.getField("value")), lit(true)), array(struct(
+                    format_string(s"$colName/%s:additionalProperties", e.getField("key")).as("rule_id"),
+                    lit(msg).as("observed"),
+                    e.getField("value").cast(StringType).as("expected")))
+                  ).otherwise(array().cast(violationsType))
+                }
+                if (perCheck.size == 1) perCheck.head else flatten(array(perCheck: _*))
+              })))
+              .otherwise(array().cast(violationsType))
+            out += CompiledRule(id, pass, viols, size(failing))
+          }
+        case _ => () // true / malformed: vacuous
       }
     }
 

@@ -140,15 +140,26 @@ class PipelineSpec extends AnyFunSuite {
     val r3 = ValidationPipeline.run(spark, corpusPath, suite, s"$dir/out3", "snap-2")
     assert(r3.resumedSkipped === 0)
 
-    // violations landed as parquet with the typed schema
+    // violations landed as parquet with the typed schema, partitioned by part
     val v = spark.read.parquet(s"$outDir/violations")
-    assert(v.columns.toSeq === Seq("doc_id", "rule_id", "observed", "expected"))
+    assert(v.columns.toSeq === Seq("doc_id", "rule_id", "observed", "expected", "part"))
     assert(v.count() === 7) // rows 250,500,…,1750 carry BADSRC
 
     // manifest is valid JSON with lineage
     val m = Manifest.loadOrEmpty(s"$outDir/manifest.json", "snap-1",
       SuiteCompiler.compile(suite).suiteHash)
     assert(m.entries.size === 8)
+
+    // crash-replay idempotency: forget the checkpoint for half the partitions
+    // (simulates dying AFTER the parquet write but BEFORE Manifest.save) —
+    // the replayed batches must REPLACE their partitions' violations via
+    // dynamic partition overwrite, not append duplicates
+    val partial = Manifest.empty("snap-1", SuiteCompiler.compile(suite).suiteHash)
+      .withEntries(m.entries.values.filter(_.part >= 4).toSeq)
+    Manifest.save(partial, s"$outDir/manifest.json")
+    val r4 = ValidationPipeline.run(spark, corpusPath, suite, outDir, "snap-1")
+    assert(r4.resumedSkipped === 4)
+    assert(spark.read.parquet(s"$outDir/violations").count() === 7)
   }
 }
 
@@ -173,6 +184,15 @@ class CompiledSchemaSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](CompiledJsonSchema.compile("42"))
     // boolean schemas are valid compiled schemas (c:323-330)
     assert(CompiledJsonSchema.compile("true").canonical === "true")
+  }
+
+  test("pg_regress 'compile schema': jsonschema_compile(...) IS NOT NULL = true") {
+    // the 147th golden case (sql/json_schema_validate.sql compiled section,
+    // expected/json_schema_validate.out): compile of a valid schema yields a
+    // non-null handle — not a (doc, schema, bool) triple, so it lives here
+    // rather than in golden_cases.json (which carries the other 146)
+    val cs = CompiledJsonSchema.compile("""{"type": "object"}""")
+    assert(cs != null && cs.canonical.nonEmpty && cs.hash.nonEmpty)
   }
 }
 

@@ -163,7 +163,54 @@ class MapColumnSpec extends AnyFunSuite {
     assert(v.exists(r => r.getAs[String]("rule_id") == "props:required:k" &&
       r.getAs[String]("observed") == "Missing required property: k"))
     assert(v.exists(_.getAs[String]("observed") == "Object has 4 properties, maximum is 3"))
-    assert(v.exists(_.getAs[String]("observed") == "Additional properties are not allowed"))
+    // per-key reject message, reference format c:1459-1460
+    assert(v.exists(_.getAs[String]("observed") == "Additional property 'other' is not allowed"))
+  }
+
+  test("schema-valued additionalProperties validates non-exempt VALUES (c:1465-1476)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Map("k" -> 5, "extra" -> 150)),  // extra >= 100: passes sub-schema
+      (2L, Map("k" -> 5, "bad" -> 7)),      // bad < 100: violates
+      (3L, Map("k" -> 3)),                  // only known keys: vacuous
+      (4L, Map("exempted" -> 1))            // patternProperties-exempt: unchecked
+    ).toDF("id", "props")
+    val suite =
+      """{ "rules": { "props": {
+        |  "properties": { "k": {} },
+        |  "patternProperties": { "^ex": {} },
+        |  "additionalProperties": { "minimum": 100 }
+        |}}}""".stripMargin
+    val compiled = SuiteCompiler.compile(suite)
+    val ok = df.withColumn("v", compiled.isValidCol)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ok === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    val v = compiled.violations(df.withColumn("doc_id", $"id"), "doc_id").collect()
+    assert(v.length === 1)
+    assert(v.head.getAs[String]("rule_id") === "props/bad:additionalProperties")
+    assert(v.head.getAs[String]("observed") === "Value is less than minimum")
+    // walker agreement on the equivalent dynamic document
+    import graft.rules.JsonSchemaValidator
+    import graft.json.Json
+    val schema = Json.parse(
+      """{"properties":{"k":{}},"patternProperties":{"^ex":{}},
+        |"additionalProperties":{"minimum":100}}""".stripMargin)
+    assert(JsonSchemaValidator.isValid(Json.parse("""{"k":5,"extra":150}"""), schema))
+    assert(!JsonSchemaValidator.isValid(Json.parse("""{"k":5,"bad":7}"""), schema))
+    assert(JsonSchemaValidator.isValid(Json.parse("""{"exempted":1}"""), schema))
+  }
+
+  test("uniqueItems is vacuous for arrays of containers (jsonb_values_equal c:1287-1344)") {
+    import spark.implicits._
+    val scalarDup = Seq((1L, Seq(1, 2, 2)), (2L, Seq(1, 2, 3))).toDF("id", "a")
+    val containerDup = Seq((1L, Seq(Seq(1, 2), Seq(1, 2)))).toDF("id", "a")
+    val compiled = SuiteCompiler.compile("""{ "rules": { "a": { "uniqueItems": true } } }""")
+    val s = scalarDup.withColumn("v", compiled.isValidCol)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(s === Map(1L -> false, 2L -> true))
+    // duplicate INNER ARRAYS: the reference never equates containers -> valid
+    val c = containerDup.withColumn("v", compiled.isValidCol).select("v").head().getBoolean(0)
+    assert(c === true)
   }
 }
 
