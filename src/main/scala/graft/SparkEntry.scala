@@ -117,6 +117,71 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- keyword matrix: every remaining keyword through the columnar
+    // compiler with a DuckDB UNION-ALL oracle over the same predicates ------
+    "v_keyword_matrix" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      // scalar keywords: $ref, exclusive bounds, multipleOf, const, format,
+      // integer type, boolean-false schema, allOf/anyOf/oneOf/not/if-then-else
+      val suite =
+        """{ "$defs": { "cap": { "exclusiveMaximum": 295 } },
+          |  "rules": {
+          |    "n_chars": { "$ref": "#/$defs/cap", "exclusiveMinimum": 60, "multipleOf": 3,
+          |                 "allOf": [ {"minimum": 100}, {"maximum": 400} ],
+          |                 "anyOf": [ {"maximum": 100}, {"minimum": 200} ],
+          |                 "oneOf": [ {"minimum": 150}, {"maximum": 450} ],
+          |                 "not": {"minimum": 500},
+          |                 "if": {"minimum": 300}, "then": {"multipleOf": 2}, "else": {"multipleOf": 5} },
+          |    "lang": { "const": "en" },
+          |    "maybe_email": { "format": "email" },
+          |    "ratio": { "type": "integer" },
+          |    "flag": false
+          |}}""".stripMargin
+      val d = t(dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") / lit(7.0)).as("ratio"),
+        concat(col("lang"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("@ex.com")).otherwise(lit(""))).as("maybe_email"),
+        pmod(col("doc_id"), lit(2)).as("flag"))
+      SuiteCompiler.compile(suite).violations(d, "doc_id")
+    }),
+
+    "v_keyword_matrix_obj" -> ((spark, dir) => {
+      implicit val s: SparkSession = spark
+      // array + object keywords: min/maxItems, uniqueItems, items (with the
+      // reference's per-element "[i]" paths), contains/min/maxContains,
+      // required keys, min/maxProperties, propertyNames,
+      // additionalProperties (false AND schema-valued)
+      val suite =
+        """{ "rules": {
+          |  "toks":  { "minItems": 3, "maxItems": 6, "uniqueItems": true,
+          |             "items": { "minimum": 1, "maximum": 10 },
+          |             "contains": { "minimum": 4 }, "minContains": 1, "maxContains": 1 },
+          |  "props": { "required": ["k0"], "maxProperties": 2,
+          |             "propertyNames": { "pattern": "^[a-z]" },
+          |             "additionalProperties": false,
+          |             "properties": { "k0": {}, "k1": {}, "k2": {} },
+          |             "patternProperties": { "^ex": {} } },
+          |  "props2": { "minProperties": 1 },
+          |  "props3": { "additionalProperties": { "minimum": 10 },
+          |              "properties": { "k0": {} } }
+          |}}""".stripMargin
+      val emptyM = map().cast(MapType(StringType, LongType))
+      val d = t(dir, "documents").select(
+        col("doc_id"),
+        concat(sequence(lit(0L), pmod(col("doc_id"), lit(6L))),
+          when(pmod(col("doc_id"), lit(7)) === 0, array(lit(0L)))
+            .otherwise(array().cast(ArrayType(LongType)))).as("toks"),
+        map_concat(
+          map(concat(lit("k"), pmod(col("doc_id"), lit(3))), col("n_chars")),
+          when(pmod(col("doc_id"), lit(5)) === 0, map(lit("ex1"), col("doc_id"))).otherwise(emptyM),
+          when(pmod(col("doc_id"), lit(11)) === 0, map(lit("Kbad"), lit(1L))).otherwise(emptyM)).as("props"),
+        when(pmod(col("doc_id"), lit(13)) === 0, emptyM)
+          .otherwise(map(lit("a"), lit(1L))).as("props2"),
+        map(lit("z"), pmod(col("doc_id"), lit(20L))).as("props3"))
+      SuiteCompiler.compile(suite).violations(d, "doc_id")
+    }),
+
     // ---- dynamic JSON validation (the reference's scalar API) ------------
     "v_json_valid" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
@@ -434,6 +499,124 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // keyword matrix: one UNION-ALL branch per keyword, predicates replicated
+    // exactly (integer arithmetic; messages byte-match the reference formats)
+    "v_keyword_matrix" ->
+      """SELECT * FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'flag:false' AS rule_id,
+        |         'Schema is false' AS observed, 'false' AS expected FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'lang:const', 'Value does not match const', '"en"'
+        |  FROM documents WHERE lang <> 'en'
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'maybe_email:format',
+        |         'String does not match email format', '"email"'
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'ratio:type',
+        |         'Expected type integer but got number', '"integer"'
+        |  FROM documents WHERE n_chars % 7 <> 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:exclusiveMinimum',
+        |         'Value must be greater than exclusiveMinimum', '60'
+        |  FROM documents WHERE n_chars <= 60
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:exclusiveMaximum',
+        |         'Value must be less than exclusiveMaximum', '295'
+        |  FROM documents WHERE n_chars >= 295
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:multipleOf',
+        |         'Value is not a multiple of multipleOf', '3'
+        |  FROM documents WHERE n_chars % 3 <> 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:minimum', 'Value is less than minimum', '100'
+        |  FROM documents WHERE n_chars < 100
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:maximum', 'Value exceeds maximum', '400'
+        |  FROM documents WHERE n_chars > 400
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:anyOf',
+        |         'Value does not match any schema in anyOf',
+        |         '[{"maximum":100},{"minimum":200}]'
+        |  FROM documents WHERE n_chars > 100 AND n_chars < 200
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:oneOf',
+        |         'Value matches 2 schemas in oneOf, but must match exactly one',
+        |         '[{"minimum":150},{"maximum":450}]'
+        |  FROM documents WHERE n_chars >= 150 AND n_chars <= 450
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:not',
+        |         'Value must not match the schema in ''not''', '{"minimum":500}'
+        |  FROM documents WHERE n_chars >= 500
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:multipleOf',
+        |         'Value is not a multiple of multipleOf', '2'
+        |  FROM documents WHERE n_chars >= 300 AND n_chars % 2 <> 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'n_chars:multipleOf',
+        |         'Value is not a multiple of multipleOf', '5'
+        |  FROM documents WHERE n_chars < 300 AND n_chars % 5 <> 0
+        |) ORDER BY doc_id, rule_id""".stripMargin,
+
+    "v_keyword_matrix_obj" ->
+      """WITH d AS (SELECT doc_id, n_chars, doc_id % 6 AS k,
+        |                  (doc_id % 6 + 1) + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS len,
+        |                  GREATEST(doc_id % 6 - 3, 0) AS matched,
+        |                  1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS psize
+        |           FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'toks:minItems' AS rule_id,
+        |         'Array has ' || len || ' items, minimum is 3' AS observed, '3' AS expected
+        |  FROM d WHERE len < 3
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'toks:maxItems',
+        |         'Array has ' || len || ' items, maximum is 6', '6'
+        |  FROM d WHERE len > 6
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'toks:uniqueItems', 'Array items are not unique', 'true'
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'toks[0]:items', 'Value is less than minimum', '0'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'toks[' || (k + 1) || ']:items',
+        |         'Value is less than minimum', '0'
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'toks:contains',
+        |         'Array does not contain any item matching the contains schema',
+        |         '{"minimum":4}'
+        |  FROM d WHERE matched < 1
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'toks:maxContains',
+        |         'Array contains ' || matched || ' matching items, maximum is 1', '1'
+        |  FROM d WHERE matched > 1
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props:required:k0', 'Missing required property: k0', '"k0"'
+        |  FROM d WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props:maxProperties',
+        |         'Object has ' || psize || ' properties, maximum is 2', '2'
+        |  FROM d WHERE psize > 2
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props:propertyNames',
+        |         'Property name does not match propertyNames schema', '{"pattern":"^[a-z]"}'
+        |  FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props:additionalProperties',
+        |         'Additional property ''Kbad'' is not allowed', 'false'
+        |  FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props2:minProperties',
+        |         'Object has 0 properties, minimum is 1', '1'
+        |  FROM d WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'props3/z:additionalProperties',
+        |         'Value is less than minimum', CAST(doc_id % 20 AS VARCHAR)
+        |  FROM d WHERE doc_id % 20 < 10
+        |) ORDER BY doc_id, rule_id""".stripMargin,
+
     // null-safe: Spark rule predicates are guarded (NULL column value = pass,
     // mirroring the reference's absent-property skip, c:824) — the oracle must
     // not let SQL NULL propagation diverge if the data ever contains nulls
