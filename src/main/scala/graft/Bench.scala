@@ -135,33 +135,43 @@ object Bench {
       }
       spark.stop()
 
-      def measure(n: Int): (Double, Long) = {
+      // median-of-3 after warm-up (VERDICT r01: min-of-3 let one lucky run
+      // set the number; the median plus the reported min/max band makes the
+      // efficiency claim robust to shared-VM noise)
+      def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      def measure(n: Int, warms: Int): (Double, Long, Double, Double) = {
         val s = session(n)
         var rows = 0L
-        rows = validationJob(s, corpusPath) // warm 1: FS cache + codegen
-        validationJob(s, corpusPath)        // warm 2: JIT steady state
-        val t = (1 to 3).map(_ => timeSec(validationJob(s, corpusPath))).min
+        (1 to warms).foreach(_ => rows = validationJob(s, corpusPath))
+        val ts = (1 to 3).map(_ => timeSec(validationJob(s, corpusPath)))
         s.stop()
-        (t, rows)
+        (median3(ts), rows, ts.min, ts.max)
       }
-      val deadline = System.nanoTime() + 7L * 60 * 1000 * 1000 * 1000 // soft budget
-      val (t2, rows2) = measure(2)
-      val (t8, rows8) = measure(8)
-      val (t32, rows32) = measure(32)
+      val deadline = System.nanoTime() + 9L * 60 * 1000 * 1000 * 1000 // soft budget
+      val (t2, rows2, t2lo, t2hi) = measure(2, warms = 2) // cold JVM: 2 warms
+      val (t8, rows8, t8lo, t8hi) = measure(8, warms = 1)
+      val (t32, rows32, _, _) = measure(32, warms = 1)
       require(rows2 == rows8 && rows8 == rows32)
       val eff = (t2 / t8) / 4.0
+      val effLo = (t2lo / t8hi) / 4.0
+      val effHi = (t2hi / t8lo) / 4.0
       val eff832 = (t8 / t32) / 4.0
       // secondary evidence: the reference's actual hot path (scalar JSON
       // validation, c:204-242) — pure compute, no corpus IO, scales further.
-      // Skipped gracefully when past the soft budget so the contract JSON
-      // line always reaches stdout.
-      val scalarJson = if (System.nanoTime() > deadline) "" else {
-        val (d2, d8, d32) = (measureDynamic(2), measureDynamic(8), measureDynamic(32))
-        val dEff = (d2 / d8) / 4.0
-        writeBaselineMd(benchRows, t2, t8, t32, rows8, eff, eff832, d2, d8, d32, dEff)
+      // Runs AFTER the corpus measurement (never perturbs it); skipped
+      // gracefully past the soft budget, and the MD is written either way so
+      // the artifact and the report can't drift apart.
+      val scalar =
+        if (System.nanoTime() > deadline) None
+        else {
+          val (d2, d8, d32) = (measureDynamic(2), measureDynamic(8), measureDynamic(32))
+          Some((d2, d8, d32, (d2 / d8) / 4.0))
+        }
+      writeBaselineMd(benchRows, t2, t8, t32, rows8, eff, effLo, effHi, eff832, scalar)
+      val scalarJson = scalar.map { case (d2, d8, d32, dEff) =>
         f""","scalar_json_path":{"docs":$DynDocs,"t_2_sec":$d2%.3f,"t_8_sec":$d8%.3f,"t_32_sec":$d32%.3f,"docs_per_sec_32":${(DynDocs / d32).toLong},"efficiency_2_8":$dEff%.3f}"""
-      }
-      f""","scaling":{"rows":$rows8,"n_cores":2,"n4_cores":8,"t_n_sec":$t2%.3f,"t_n4_sec":$t8%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong},"efficiency":$eff%.3f},"scaling_8_32":{"t_8_sec":$t8%.3f,"t_32_sec":$t32%.3f,"efficiency":$eff832%.3f}""" + scalarJson
+      }.getOrElse("")
+      f""","scaling":{"rows":$rows8,"n_cores":2,"n4_cores":8,"t_n_sec":$t2%.3f,"t_n4_sec":$t8%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong},"efficiency":$eff%.3f,"efficiency_band":[$effLo%.3f,$effHi%.3f],"runs":"median-of-3"},"scaling_8_32":{"t_8_sec":$t8%.3f,"t_32_sec":$t32%.3f,"efficiency":$eff832%.3f}""" + scalarJson
     } catch {
       // the headline JSON line must reach stdout even if the scaling section
       // dies (e.g. tmpfs pressure) — BENCH/BASELINE.md keeps the last good run
@@ -181,50 +191,19 @@ object Bench {
   }
 
   private def writeBaselineMd(rows: Long, t2: Double, t8: Double, t32: Double,
-                              nRows: Long, eff: Double, eff832: Double,
-                              d2: Double, d8: Double, d32: Double, dEff: Double): Unit = {
+                              nRows: Long, eff: Double, effLo: Double, effHi: Double,
+                              eff832: Double,
+                              scalar: Option[(Double, Double, Double, Double)]): Unit = {
     val dir = new java.io.File("BENCH"); dir.mkdirs()
-    val md =
-      f"""# BENCH / BASELINE — measured scaling evidence
-         |
-         |North rule: throughput scaling efficiency >= 0.8 going N -> 4N executors.
-         |Sandbox evidence: the identical end-to-end validation job — partitioned
-         |parquet corpus scan -> compiled ValidationSuite predicates -> per-partition
-         |verdicts + global salted uniqueness + column stats (HLL++) + drift
-         |histogram — on identical input ($rows rows, deterministic generator,
-         |corpus + shuffle dirs on tmpfs) at three parallelism levels, min of 3
-         |runs after a warm-up pass.
-         |
-         || metric | local[2] (N) | local[8] (4N) | local[32] |
-         ||---|---|---|---|
-         || wall time | $t2%.3f s | $t8%.3f s | $t32%.3f s |
-         || validated sequences/sec | ${(nRows / t2).toLong} | ${(nRows / t8).toLong} | ${(nRows / t32).toLong} |
-         |
-         |**Scaling efficiency N -> 4N (2 -> 8 cores): (t2/t8)/4 = $eff%.3f**
-         |(8 -> 32 cores: $eff832%.3f)
-         |
-         |Run-to-run variance note: six clean runs of this measurement on this
-         |VM landed in 0.74-0.96 (median ~0.86) for the corpus pipeline and
-         |0.70-0.92 (median ~0.87) for the scalar path — the spread is
-         |environmental (shared-VM noise, GC timing), not workload drift; the
-         |numbers above are the latest clean run.
-         |
-         |Why 2 -> 8 is the representative executor-scaling pair in this sandbox:
-         |all local threads share ONE memory controller, and the nested-column
-         |(tokens array) parquet decode saturates that bandwidth at ~8 threads —
-         |a pure-CPU JVM workload on this box scales 8->32 threads at 0.84
-         |efficiency, while array-decode throughput is flat from 8 to 32 threads.
-         |On a real cluster each added executor brings its own memory bus, so
-         |core-count scaling beyond the bandwidth knee measures a single
-         |executor's internals, not executor-count scaling. The compute-bound
-         |regime (2 -> 8) is the faithful analogue of N -> 4N executors.
-         |
+    val scalarMd = scalar.map { case (d2, d8, d32, dEff) =>
+      f"""
          |## Secondary: scalar JSON path (the reference's own hot path)
          |
          |`jsonschema_is_valid` over $DynDocs generated JSON documents
          |(object schema: required + type + minLength + integer bounds + email
          |format — the CHECK-constraint shape, README.md:448-465 of the
-         |reference). Pure compute, no corpus IO:
+         |reference). Pure compute, no corpus IO, measured AFTER the corpus
+         |runs so it never perturbs them:
          |
          || cores | 2 | 8 | 32 |
          ||---|---|---|---|
@@ -236,6 +215,38 @@ object Bench {
          |PostgreSQL; this engine validates the same document/schema shape at
          |${(DynDocs / d32).toLong} docs/sec on one 32-core node.
          |""".stripMargin
+    }.getOrElse("\n(Scalar section skipped this run: past the soft time budget.)\n")
+    val md =
+      f"""# BENCH / BASELINE — measured scaling evidence
+         |
+         |North rule: throughput scaling efficiency >= 0.8 going N -> 4N executors.
+         |Sandbox evidence: the identical end-to-end validation job — partitioned
+         |parquet corpus scan -> compiled ValidationSuite predicates -> per-partition
+         |verdicts + global salted uniqueness + column stats (HLL++) + drift
+         |histogram — on identical input ($rows rows, deterministic generator,
+         |corpus + shuffle dirs on tmpfs) at three parallelism levels, MEDIAN of
+         |3 runs after warm-up (the JSON artifact BENCH/last.json carries the
+         |same numbers plus the min/max efficiency band).
+         |
+         || metric | local[2] (N) | local[8] (4N) | local[32] |
+         ||---|---|---|---|
+         || wall time (median of 3) | $t2%.3f s | $t8%.3f s | $t32%.3f s |
+         || validated sequences/sec | ${(nRows / t2).toLong} | ${(nRows / t8).toLong} | ${(nRows / t32).toLong} |
+         |
+         |**Scaling efficiency N -> 4N (2 -> 8 cores): (t2/t8)/4 = $eff%.3f**
+         |(worst/best-case band from the 3-run spread: $effLo%.3f - $effHi%.3f;
+         |8 -> 32 cores: $eff832%.3f)
+         |
+         |Why 2 -> 8 is the representative executor-scaling pair in this sandbox:
+         |all local threads share ONE memory controller, and the nested-column
+         |(tokens array) parquet decode saturates that bandwidth at ~8 threads —
+         |a pure-CPU JVM workload on this box scales 8->32 threads at 0.84
+         |efficiency, while array-decode throughput is flat from 8 to 32 threads.
+         |On a real cluster each added executor brings its own memory bus, so
+         |core-count scaling beyond the bandwidth knee measures a single
+         |executor's internals, not executor-count scaling. The compute-bound
+         |regime (2 -> 8) is the faithful analogue of N -> 4N executors.
+         |$scalarMd""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH/BASELINE.md"),
       md.getBytes("UTF-8"))
   }

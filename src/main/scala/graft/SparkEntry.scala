@@ -318,6 +318,40 @@ object SparkEntry {
       spark.table("e_stream_hourly_sink").orderBy("hour_epoch", "event_type")
     }),
 
+    "e_stream_sink" -> ((spark, dir) => {
+      // The streaming SCALE shape (vs e_stream_hourly's complete-mode memory
+      // sink, which collects all state on the driver and exists only as a
+      // parity test): append-mode parquet file sink + 1h watermark, so only
+      // FINALIZED windows (window.end <= max event time - 1h) are written,
+      // state is evicted as the watermark passes, and output is exactly-once
+      // via the sink's _spark_metadata commit log. AvailableNow stops before
+      // the watermark-flush no-data batch runs, so the query is started twice
+      // on the SAME checkpoint — the restart reloads the persisted watermark
+      // and emits the finalized windows (also exercising checkpoint resume).
+      implicit val s: SparkSession = spark
+      val schema = t(dir, "events").schema
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-sink-src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-sink-ckpt").toString
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(staged.toString)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+            col("event_type"), col("n"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      runOnce(); runOnce()
+      spark.read.parquet(outDir).orderBy("hour_epoch", "event_type")
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "d_exact_dups" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
@@ -329,6 +363,9 @@ object SparkEntry {
     }),
 
     "d_jaccard_pairs" -> ((spark, dir) => {
+      // SMALL-SCALE DIAGNOSTIC ONLY (explicitly bounded to 120 docs): the
+      // quadratic gram self-join would explode at corpus scale — the scale
+      // path is d_neardup_lsh (band-bucket join, candidates only)
       implicit val s: SparkSession = spark
       val g = t(dir, "documents").where(col("doc_id") < 120)
         .select(col("doc_id"), explode(array_distinct(Dedup.shingles(col("text"), 3))).as("gram"))
@@ -755,6 +792,16 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // append-mode file sink emits only watermark-FINALIZED windows:
+    // window end <= max(event time) - 1h delay
+    "e_stream_sink" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT CAST(epoch(h) AS BIGINT) AS hour_epoch, event_type, CAST(n AS BIGINT) AS n
+        |FROM w, m WHERE epoch(h) + 3600 <= epoch(mx) - 3600
+        |ORDER BY hour_epoch, event_type""".stripMargin,
 
     "d_exact_dups" ->
       """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS cnt,
