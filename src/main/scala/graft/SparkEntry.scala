@@ -393,6 +393,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "d_clusters" -> ((spark, dir) => {
+      // duplicate clustering over the LSH candidate pairs: connected
+      // components by min-label propagation (join+agg rounds with
+      // localCheckpoint lineage truncation). Oracle: DuckDB recursive-CTE
+      // transitive closure over the identical pair set.
+      implicit val s: SparkSession = spark
+      val pairs = Dedup.nearDuplicates(t(dir, "documents"), "doc_id", "text",
+          numShingles = 3, bands = 16, rowsPerBand = 4, threshold = 0.7)
+        .select("id_a", "id_b")
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").cast(LongType).as("id"), col("cluster").cast(LongType).as("cluster"))
+        .orderBy("id")
+    }),
+
     "d_minhash_stats" -> ((spark, dir) => {
       // no SQL oracle (hash-family specific) → rows-only check
       implicit val s: SparkSession = spark
@@ -414,6 +428,31 @@ object SparkEntry {
     }),
 
     // ---- text analysis ----------------------------------------------------
+    "v_token_freq" -> ((spark, dir) => {
+      // corpus-wide token-frequency check (TableChecks.tokenFrequencies:
+      // explode + two-phase count, shuffle sized by distinct tokens)
+      implicit val s: SparkSession = spark
+      val docs = t(dir, "documents").select(Dedup.words(col("text")).as("toks"))
+      TableChecks.tokenFrequencies(docs, "toks")
+        .orderBy(desc("cnt"), col("token"))
+        .limit(50)
+        .select(col("token"), col("cnt").cast(LongType).as("cnt"))
+    }),
+
+    "v_oov_stats" -> ((spark, dir) => {
+      // out-of-vocabulary scan (TableChecks.oovStats: single map-side pass,
+      // array extrema fast path, no explode) over byte-length pseudo-tokens
+      // so the oracle is engine-exact (octet_length == strlen)
+      implicit val s: SparkSession = spark
+      val docs = t(dir, "documents")
+        .select(transform(Dedup.words(col("text")), w => octet_length(w)).as("toks"))
+      TableChecks.oovStats(docs, "toks", vocabSize = 12)
+        .select(col("n_rows").cast(LongType).as("n_rows"),
+          col("rows_with_oov").cast(LongType).as("rows_with_oov"),
+          col("oov_tokens").cast(LongType).as("oov_tokens"),
+          col("total_tokens").cast(LongType).as("total_tokens"))
+    }),
+
     "t_token_stats" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       t(dir, "documents").groupBy("lang").agg(
@@ -839,6 +878,52 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components via recursive transitive closure over the same
+    // exact-Jaccard pair set; cluster = min id of the component
+    "d_clusters" ->
+      """WITH RECURSIVE
+        |dw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+        |       FROM documents),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+        |      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |gs AS (SELECT DISTINCT doc_id, gram FROM g),
+        |sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY 1),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |      FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2),
+        |e0 AS (SELECT id_a, id_b
+        |       FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |       WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |          UNION SELECT id_b, id_a FROM e0),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(LEAST(id, min(r)) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "v_token_freq" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents)
+        |WHERE token <> '' GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "v_oov_stats" ->
+      """WITH t AS (SELECT list_transform(
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> ''),
+        |    w -> strlen(w)) AS toks FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN list_min(toks) < 0 OR list_max(toks) >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_oov,
+        |  CAST(sum(CASE WHEN list_min(toks) < 0 OR list_max(toks) >= 12
+        |           THEN len(list_filter(toks, x -> x < 0 OR x >= 12)) ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+        |FROM t""".stripMargin,
 
     "t_token_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS docs,

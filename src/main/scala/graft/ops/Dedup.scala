@@ -66,25 +66,34 @@ object Dedup {
                      numShingles: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                      threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), numShingles, k))
-      .withColumn("shingleSet", array_distinct(shingles(col("text"), numShingles)))
+    val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
-    // explode to (band, bandHash, id) — one row per band per doc
-    val buckets = withSig.select(col("id"), col("shingleSet"),
+    // SLIM bucket rows: (id, band, bandHash) only. Carrying the shingle set
+    // through the band explode would ship ~n_shingles strings per doc per
+    // band through the shuffle — a `bands`x write amplification of the whole
+    // corpus. Instead candidates are found on 24-byte rows, DEDUPED, and the
+    // (much smaller) surviving pair set joins the shingle sets back, so each
+    // doc's set crosses the wire once per surviving pair side, not 16x per doc.
+    val buckets = src
+      .withColumn("sig", minhashSignature(col("text"), numShingles, k))
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
           .as(Seq("band", "bandHash")))
+      .select("id", "band", "bandHash")
 
     val a = buckets.as("a"); val b = buckets.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingleSet").as("sa"), col("b.shingleSet").as("sb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
+    val sets = src.select(col("id"),
+      array_distinct(shingles(col("text"), numShingles)).as("set"))
     candidates
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
