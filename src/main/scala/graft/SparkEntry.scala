@@ -352,6 +352,45 @@ object SparkEntry {
       spark.read.parquet(outDir).orderBy("hour_epoch", "event_type")
     }),
 
+    "e_stream_state" -> ((spark, dir) => {
+      // custom streaming STATE path: flatMapGroupsWithState accumulates
+      // per-key (count, high-value count) across batches; with the single
+      // staged file = one batch, the emitted state equals the batch GROUP BY,
+      // which is the DuckDB oracle — proving the KeyValueGroupedDataset
+      // state machinery against relational semantics.
+      implicit val s: SparkSession = spark
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val schema = t(dir, "events").schema
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-state-src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val out = spark.readStream.schema(schema).parquet(staged.toString)
+        .select(col("event_type"), (col("value") > 100).cast(LongType).as("hi"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+            var (n, hi) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { r => n += 1; hi += r._2 }
+            state.update((n, hi))
+            Iterator((key, n, hi))
+        }.toDF("event_type", "n", "hi_value")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("e_stream_state_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table("e_stream_state_sink").orderBy("event_type")
+    }),
+
+    "v_violations_sample" -> ((spark, dir) => {
+      // capped violation reporting (first perRule examples per rule — the
+      // report shape at 10^12 rows, one window over failing rows only)
+      implicit val s: SparkSession = spark
+      SuiteCompiler.compile(documentsSuite)
+        .violationsSample(t(dir, "documents"), "doc_id", perRule = 5)
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "d_exact_dups" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
@@ -831,6 +870,24 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "e_stream_state" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS hi_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "v_violations_sample" ->
+      """WITH v AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'n_chars:maximum' AS rule_id,
+        |         'Value exceeds maximum' AS observed, '300' AS expected
+        |  FROM documents WHERE n_chars > 300
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'text:minLength',
+        |         'String length ' || strlen(text) || ' is less than minLength 50', '50'
+        |  FROM documents WHERE strlen(text) < 50),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY rule_id ORDER BY doc_id) AS rn FROM v)
+        |SELECT doc_id, rule_id, observed, expected FROM r WHERE rn <= 5
+        |ORDER BY doc_id, rule_id""".stripMargin,
 
     // append-mode file sink emits only watermark-FINALIZED windows:
     // window end <= max(event time) - 1h delay
