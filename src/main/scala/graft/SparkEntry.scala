@@ -581,6 +581,42 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "s_ann_batch" -> ((spark, dir) => {
+      // BATCH ANN: a query SET resolved as ONE bucket equi-join against the
+      // persisted index — the repeated-lookup shape at scale (queries are a
+      // broadcast table of (q_id, probe bucket, scaled vector); the corpus
+      // side is touched once, pruned to the union of probed buckets; no
+      // per-query scans). Top-10 per query via one window over candidates.
+      // Oracle: full pipeline in DuckDB (same integer plane family).
+      implicit val s: SparkSession = spark
+      import spark.implicits._
+      import graft.functions.SignBucket
+      val planes = 6; val probeBits = 1
+      val emb = t(dir, "embeddings")
+      val idx = s"/tmp/graft-ann-index-${math.abs(dir.hashCode)}-p$planes"
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+        Similarity.buildIndex(emb, "vec_id", "embedding", planes, idx)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val probes = qs.toSeq.flatMap { case (qid, qv) =>
+        val bucket = SignBucket.compute(qv, planes)
+        val qscaled = qv.map(SignBucket.scaleComponent).toSeq
+        SignBucket.probeBuckets(bucket, planes, probeBits).map(b => (qid, b, qscaled))
+      }.toDF("q_id", "bucket", "qscaled")
+      val scaled = transform(col("vec"), x => round(x * 1e7).cast(LongType))
+      val dot = aggregate(zip_with(scaled, col("qscaled"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      val cand = spark.read.parquet(idx).join(broadcast(probes), "bucket")
+        .select(col("q_id"), col("id").as("vec_id"), dot.as("dot_scaled"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("q_id").orderBy(desc("dot_scaled"), col("vec_id"))
+      cand.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"), col("dot_scaled"))
+        .orderBy("q_id", "vec_id")
+    }),
+
     "s_embed_neardup" -> ((spark, dir) => {
       // no SQL oracle (hash-derived hyperplanes) → rows-only check:
       // per-bucket candidate statistics for embedding near-dup search
@@ -1026,6 +1062,34 @@ object SparkEntry {
     "m_payload_meta" ->
       """SELECT doc_id, md5(text) AS digest, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // batch ANN: same integer plane family; per-query Hamming<=1 probing and
+    // per-query top-10 by exact scaled-int dot, all reproduced relationally
+    "s_ann_batch" ->
+      """WITH w AS (
+        |  SELECT p, d, (xor(h2, h2 >> 13) % 1000) - 500 AS wt FROM (
+        |    SELECT p, d, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h2 FROM (
+        |      SELECT tp.range AS p, td.range AS d,
+        |             ((tp.range * 65537 + td.range + 17) * 1664525) % 4294967296 AS h1
+        |      FROM range(0, 6) tp, range(0, 64) td))),
+        |sv AS (SELECT vec_id, i - 1 AS d,
+        |              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS x
+        |       FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+        |proj AS (SELECT vec_id, p, sum(x * wt) AS pr
+        |         FROM sv JOIN w ON w.d = sv.d GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY 1),
+        |cand AS (SELECT q.vec_id AS q_id, b.vec_id
+        |         FROM bkt q JOIN bkt b ON bit_count(xor(b.bucket, q.bucket)) <= 1
+        |         WHERE q.vec_id < 5),
+        |dots AS (SELECT c.q_id, c.vec_id, CAST(sum(sb.x * sq.x) AS BIGINT) AS dot_scaled
+        |         FROM cand c JOIN sv sb ON sb.vec_id = c.vec_id
+        |                     JOIN sv sq ON sq.vec_id = c.q_id AND sq.d = sb.d
+        |         GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                ORDER BY dot_scaled DESC, vec_id) AS rn FROM dots)
+        |SELECT q_id, vec_id, dot_scaled FROM r WHERE rn <= 10
+        |ORDER BY q_id, vec_id""".stripMargin,
 
     // full-pipeline ANN oracle: integer plane weights (Murmur-style mix with
     // only *, %, xor, >>), int64-scaled components, bucket bits, Hamming<=2
