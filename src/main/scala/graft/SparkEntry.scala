@@ -618,14 +618,29 @@ object SparkEntry {
     }),
 
     "s_embed_neardup" -> ((spark, dir) => {
-      // no SQL oracle (hash-derived hyperplanes) → rows-only check:
-      // per-bucket candidate statistics for embedding near-dup search
+      // embedding near-dup via LSH sign buckets, EXACT-INTEGER end to end:
+      // candidates = same-bucket pairs only (never all-pairs); the cosine
+      // threshold 0.4 is decided in integer arithmetic
+      // (dot^2 * 25 >= 4 * |a|^2 * |b|^2, dot > 0) on int64-scaled vectors,
+      // so DuckDB reproduces bucketing AND thresholding bit-exactly.
       implicit val s: SparkSession = spark
-      val emb = t(dir, "embeddings").limit(2000)
-        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("vec"))
-      emb.withColumn("bucket", Similarity.signBucket(col("vec"), 6))
-        .groupBy("bucket").agg(count(lit(1)).as("n"))
-        .orderBy("bucket")
+      val planes = 4
+      val vecD = col("embedding").cast(ArrayType(DoubleType))
+      val base = t(dir, "embeddings").select(col("vec_id").as("id"),
+        transform(vecD, x => round(x * 1e7).cast(LongType)).as("sv"),
+        Similarity.signBucket(vecD, planes).as("bucket"))
+      val withN = base.withColumn("n2",
+        aggregate(zip_with(col("sv"), col("sv"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      val a = withN.as("a"); val b = withN.as("b")
+      val dot = aggregate(zip_with(col("a.sv"), col("b.sv"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), dot.as("dot"),
+          col("a.n2").as("na2"), col("b.n2").as("nb2"))
+        .where(col("dot") > 0 &&
+          col("dot").cast(DecimalType(38, 0)) * col("dot") * lit(25) >=
+          col("na2").cast(DecimalType(38, 0)) * col("nb2") * lit(4))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- multimodal plumbing ----------------------------------------------
@@ -1062,6 +1077,35 @@ object SparkEntry {
     "m_payload_meta" ->
       """SELECT doc_id, md5(text) AS digest, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // embedding near-dup: same-bucket pairs (4 planes), integer cosine
+    // threshold 0.4 via dot^2*25 >= 4*na2*nb2 with HUGEINT exactness
+    "s_embed_neardup" ->
+      """WITH w AS (
+        |  SELECT p, d, (xor(h2, h2 >> 13) % 1000) - 500 AS wt FROM (
+        |    SELECT p, d, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h2 FROM (
+        |      SELECT tp.range AS p, td.range AS d,
+        |             ((tp.range * 65537 + td.range + 17) * 1664525) % 4294967296 AS h1
+        |      FROM range(0, 4) tp, range(0, 64) td))),
+        |sv AS (SELECT vec_id, i - 1 AS d,
+        |              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS x
+        |       FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+        |proj AS (SELECT vec_id, p, sum(x * wt) AS pr
+        |         FROM sv JOIN w ON w.d = sv.d GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY 1),
+        |n2 AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM sv GROUP BY 1),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (SELECT c.id_a, c.id_b, CAST(sum(sa.x * sb.x) AS BIGINT) AS dot
+        |         FROM cand c JOIN sv sa ON sa.vec_id = c.id_a
+        |                     JOIN sv sb ON sb.vec_id = c.id_b AND sb.d = sa.d
+        |         GROUP BY 1, 2)
+        |SELECT d.id_a, d.id_b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+        |FROM dots d JOIN n2 na ON na.vec_id = d.id_a JOIN n2 nb ON nb.vec_id = d.id_b
+        |WHERE d.dot > 0
+        |  AND CAST(d.dot AS HUGEINT) * d.dot * 25 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // batch ANN: same integer plane family; per-query Hamming<=1 probing and
     // per-query top-10 by exact scaled-int dot, all reproduced relationally
