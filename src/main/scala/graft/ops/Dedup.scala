@@ -64,7 +64,7 @@ object Dedup {
    */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      numShingles: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                     threshold: Double = 0.7): DataFrame = {
+                     threshold: Double = 0.7, maxBucket: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
     val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
@@ -74,13 +74,29 @@ object Dedup {
     // corpus. Instead candidates are found on 24-byte rows, DEDUPED, and the
     // (much smaller) surviving pair set joins the shingle sets back, so each
     // doc's set crosses the wire once per surviving pair side, not 16x per doc.
-    val buckets = src
+    val rawBuckets = src
       .withColumn("sig", minhashSignature(col("text"), numShingles, k))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
           .as(Seq("band", "bandHash")))
       .select("id", "band", "bandHash")
+
+    // maxBucket > 0: drop DEGENERATE buckets (boilerplate/near-identical
+    // mass) whose self-join would be quadratic in the bucket size — the
+    // standard industrial cap for web-scale LSH dedup. Exact-duplicate
+    // clusters should already be removed by exactDuplicates, so a bucket
+    // with more than maxBucket distinct docs is either boilerplate or a
+    // hash pile-up; at 10^12 docs one such bucket can dominate the whole
+    // join. Counting is one agg on the slim rows (no payloads). maxBucket=0
+    // keeps every bucket (exact behavior, used by the oracle-checked gate).
+    val buckets = if (maxBucket <= 0) rawBuckets else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("band", "bandHash")
+      rawBuckets.withColumn("__n", count(lit(1)).over(w))
+        .where(col("__n") <= maxBucket)
+        .select("id", "band", "bandHash")
+    }
 
     val a = buckets.as("a"); val b = buckets.as("b")
     val candidates = a.join(b,

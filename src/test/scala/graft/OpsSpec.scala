@@ -42,6 +42,25 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("maxBucket drops degenerate LSH buckets but keeps ordinary near-dups") {
+    // 30 copies of the same boilerplate + one ordinary near-dup pair: with a
+    // bucket cap below 30 the boilerplate mass produces NO candidate pairs
+    // while the ordinary pair survives
+    val boiler = (100L until 130L).map(i => (i, "exactly the same boilerplate text repeated across documents"))
+    val docs2 = (boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"))).toDF("id", "text")
+    val capped = Dedup.nearDuplicates(docs2, "id", "text", numShingles = 2,
+      bands = 8, rowsPerBand = 2, threshold = 0.5, maxBucket = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists { case (a, b) => a >= 100L || b >= 100L })
+    // uncapped finds the full quadratic boilerplate cluster
+    val uncapped = Dedup.nearDuplicates(docs2, "id", "text", numShingles = 2,
+      bands = 8, rowsPerBand = 2, threshold = 0.5).count()
+    assert(uncapped >= 30L * 29 / 2)
+  }
+
   test("simhash: identical texts equal, near-dups close in hamming, distinct far") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val m = docs.select(col("id"), Dedup.simhash(col("text")).as("h")).collect()
