@@ -67,13 +67,14 @@ object Bench {
       }
     }
     def snap: (Long, Long, Long) = (cpuNs.get, runMs.get, gcMs.get)
-    /** Wait for the async listener bus to drain (poll until stable). */
-    def settle(): Unit = {
-      var prev = -1L
-      var cur = runMs.get
-      var i = 0
-      while (prev != cur && i < 20) { Thread.sleep(100); prev = cur; cur = runMs.get; i += 1 }
-    }
+  }
+
+  /** Drain the async listener bus before snapshotting task-metric deltas —
+    * a poll-until-stable heuristic could return early under a driver GC
+    * pause and misattribute late task events to the next run's window. */
+  private def settle(s: SparkSession): Unit = {
+    org.apache.spark.sql.graftshim.Bridge.drainListenerBus(s.sparkContext, 30000L)
+    ()
   }
 
   /** Scalar JSON validation throughput (the reference's CHECK-constraint hot
@@ -178,11 +179,11 @@ object Bench {
         val ml = new MetricsListener
         s.sparkContext.addSparkListener(ml)
         (0 until warms).foreach(_ => validationJob(s, corpusPath))
-        ml.settle()
+        settle(s)
         val (cpu0, run0, gc0) = ml.snap
         var rows = 0L
         val t = timeSec { rows = validationJob(s, corpusPath) }
-        ml.settle()
+        settle(s)
         val (cpu1, run1, gc1) = ml.snap
         s.stop()
         val cpuSec = (cpu1 - cpu0) / 1e9

@@ -20,6 +20,18 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** ANN index memoized PER PROCESS (fresh temp dir each JVM) — a /tmp path
+    * keyed by the data dir would silently serve a STALE index if the
+    * underlying table or the plane/scale formula ever changed between runs. */
+  private val annIndexes = new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private def annIndex(spark: SparkSession, dir: String, planes: Int): String =
+    annIndexes.computeIfAbsent((dir, planes), { _ =>
+      implicit val s: SparkSession = spark
+      val path = java.nio.file.Files.createTempDirectory(s"graft-ann-index-p$planes-").toString
+      ops.Similarity.buildIndex(t(dir, "embeddings"), "vec_id", "embedding", planes, path)
+      path
+    })
+
   /** ValidationSuite over the documents table (the reference's keyword set
     * applied to typed columns; two rules fire on real data). */
   val documentsSuite: String =
@@ -425,7 +437,13 @@ object SparkEntry {
       // (j≈0.77) is <1e-3, and the hash family is deterministic, so the
       // candidate-pruned result equals the exact result on this corpus.
       implicit val s: SparkSession = spark
-      Dedup.nearDuplicates(t(dir, "documents"), "doc_id", "text",
+      // domain guard shared with the oracle: docs under 3 words collapse to a
+      // single concat-shingle in Dedup.shingles while positional SQL gram
+      // construction yields none — exclude them on BOTH sides so the gate
+      // compares identical semantics (the operator's short-doc behavior is
+      // pinned separately in DedupSpec)
+      val docs3 = t(dir, "documents").where(size(Dedup.words(col("text"))) >= 3)
+      Dedup.nearDuplicates(docs3, "doc_id", "text",
           numShingles = 3, bands = 16, rowsPerBand = 4, threshold = 0.7)
         .select(col("id_a"), col("id_b"),
           col("inter").cast(LongType).as("inter"), col("uni").cast(LongType).as("uni"))
@@ -438,7 +456,8 @@ object SparkEntry {
       // localCheckpoint lineage truncation). Oracle: DuckDB recursive-CTE
       // transitive closure over the identical pair set.
       implicit val s: SparkSession = spark
-      val pairs = Dedup.nearDuplicates(t(dir, "documents"), "doc_id", "text",
+      val docs3 = t(dir, "documents").where(size(Dedup.words(col("text"))) >= 3)
+      val pairs = Dedup.nearDuplicates(docs3, "doc_id", "text",
           numShingles = 3, bands = 16, rowsPerBand = 4, threshold = 0.7)
         .select("id_a", "id_b")
       Dedup.duplicateClusters(pairs)
@@ -561,19 +580,17 @@ object SparkEntry {
       // (partition pruning — at real scale planes is 16+, so probing covers
       // ~0.2% of the corpus; 6 planes here because the test corpus is tiny).
       implicit val s: SparkSession = spark
-      import graft.functions.SignBucket
+      import graft.functions.{ScaledIntDot, SignBucket}
       val planes = 6; val probeBits = 2
       val emb = t(dir, "embeddings")
-      val idx = s"/tmp/graft-ann-index-${math.abs(dir.hashCode)}-p$planes"
-      if (!new java.io.File(s"$idx/_SUCCESS").exists())
-        Similarity.buildIndex(emb, "vec_id", "embedding", planes, idx)
+      val idx = annIndex(spark, dir, planes)
       val qd = emb.where(col("vec_id") === 1)
         .select(col("embedding").cast(ArrayType(DoubleType))).head().getSeq[Double](0)
       val buckets = SignBucket.probeBuckets(SignBucket.compute(qd.toArray, planes),
         planes, probeBits)
       val qlit = array(qd.map(v => lit(SignBucket.scaleComponent(v))): _*)
       val scaled = transform(col("vec"), x => round(x * 1e7).cast(LongType))
-      val dot = aggregate(zip_with(scaled, qlit, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val dot = ScaledIntDot(scaled, qlit) // codegen'd: no HOF in the projection
       spark.read.parquet(idx)
         .where(col("bucket").isin(buckets: _*))
         .select(col("id").as("vec_id"), dot.as("dot_scaled"))
@@ -590,12 +607,10 @@ object SparkEntry {
       // Oracle: full pipeline in DuckDB (same integer plane family).
       implicit val s: SparkSession = spark
       import spark.implicits._
-      import graft.functions.SignBucket
+      import graft.functions.{ScaledIntDot, SignBucket}
       val planes = 6; val probeBits = 1
       val emb = t(dir, "embeddings")
-      val idx = s"/tmp/graft-ann-index-${math.abs(dir.hashCode)}-p$planes"
-      if (!new java.io.File(s"$idx/_SUCCESS").exists())
-        Similarity.buildIndex(emb, "vec_id", "embedding", planes, idx)
+      val idx = annIndex(spark, dir, planes)
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
         .collect()
@@ -606,8 +621,7 @@ object SparkEntry {
         SignBucket.probeBuckets(bucket, planes, probeBits).map(b => (qid, b, qscaled))
       }.toDF("q_id", "bucket", "qscaled")
       val scaled = transform(col("vec"), x => round(x * 1e7).cast(LongType))
-      val dot = aggregate(zip_with(scaled, col("qscaled"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
+      val dot = ScaledIntDot(scaled, col("qscaled"))
       val cand = spark.read.parquet(idx).join(broadcast(probes), "bucket")
         .select(col("q_id"), col("id").as("vec_id"), dot.as("dot_scaled"))
       import org.apache.spark.sql.expressions.Window
@@ -624,16 +638,18 @@ object SparkEntry {
       // (dot^2 * 25 >= 4 * |a|^2 * |b|^2, dot > 0) on int64-scaled vectors,
       // so DuckDB reproduces bucketing AND thresholding bit-exactly.
       implicit val s: SparkSession = spark
+      import graft.functions.ScaledIntDot
       val planes = 4
       val vecD = col("embedding").cast(ArrayType(DoubleType))
       val base = t(dir, "embeddings").select(col("vec_id").as("id"),
         transform(vecD, x => round(x * 1e7).cast(LongType)).as("sv"),
         Similarity.signBucket(vecD, planes).as("bucket"))
-      val withN = base.withColumn("n2",
-        aggregate(zip_with(col("sv"), col("sv"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      // codegen'd integer dot (ScaledIntDot): an interpreted HOF reduction in
+      // the join's threshold predicate would disable whole-stage codegen for
+      // the stage that evaluates every same-bucket candidate pair
+      val withN = base.withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
       val a = withN.as("a"); val b = withN.as("b")
-      val dot = aggregate(zip_with(col("a.sv"), col("b.sv"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
+      val dot = ScaledIntDot(col("a.sv"), col("b.sv"))
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"), dot.as("dot"),
           col("a.n2").as("na2"), col("b.n2").as("nb2"))
@@ -969,8 +985,10 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
 
     "d_neardup_lsh" ->
-      """WITH dw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
-        |            FROM documents),
+      """WITH dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents) WHERE len(words) >= 3),
         |w AS (SELECT doc_id, words[i] AS word, i AS pos
         |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
         |g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
@@ -991,8 +1009,10 @@ object SparkEntry {
     // exact-Jaccard pair set; cluster = min id of the component
     "d_clusters" ->
       """WITH RECURSIVE
-        |dw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
-        |       FROM documents),
+        |dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents) WHERE len(words) >= 3),
         |w AS (SELECT doc_id, words[i] AS word, i AS pos
         |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
         |g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram

@@ -64,6 +64,11 @@ case class SignBucket(child: Expression, planes: Int) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dim = arr.numElements()
+    // null element => every plane's projection is null, so the HOF
+    // formulation's when(proj >= 0, bit).otherwise(0) yields bucket 0 —
+    // match it exactly (getDouble on a null slot would silently read 0.0)
+    var d0 = 0
+    while (d0 < dim) { if (arr.isNullAt(d0)) return 0L; d0 += 1 }
     val m = planeWeights(dim)
     var bucket = 0L
     var p = 0

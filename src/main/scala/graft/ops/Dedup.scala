@@ -86,16 +86,16 @@ object Dedup {
     // mass) whose self-join would be quadratic in the bucket size — the
     // standard industrial cap for web-scale LSH dedup. Exact-duplicate
     // clusters should already be removed by exactDuplicates, so a bucket
-    // with more than maxBucket distinct docs is either boilerplate or a
-    // hash pile-up; at 10^12 docs one such bucket can dominate the whole
-    // join. Counting is one agg on the slim rows (no payloads). maxBucket=0
-    // keeps every bucket (exact behavior, used by the oracle-checked gate).
+    // with more than maxBucket docs is either boilerplate or a hash
+    // pile-up; at 10^12 docs one such bucket can dominate the whole join.
+    // Shape: groupBy count (map-side combine on the slim rows) -> the
+    // over-cap bucket list is near-empty -> BROADCAST anti-join; no window
+    // sort, no second full shuffle of the bucket rows.
     val buckets = if (maxBucket <= 0) rawBuckets else {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("band", "bandHash")
-      rawBuckets.withColumn("__n", count(lit(1)).over(w))
-        .where(col("__n") <= maxBucket)
-        .select("id", "band", "bandHash")
+      val overCap = rawBuckets.groupBy("band", "bandHash")
+        .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucket)
+        .select("band", "bandHash")
+      rawBuckets.join(broadcast(overCap), Seq("band", "bandHash"), "left_anti")
     }
 
     val a = buckets.as("a"); val b = buckets.as("b")
@@ -150,7 +150,7 @@ object Dedup {
    * large-graph CC recipe (no driver-side graph, all joins), the same shape
    * GraphX/GraphFrames use under the hood.
    */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -178,6 +178,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // partial labels are silently WRONG (a component split in two); loud
+    // failure beats a wrong dedup decision. Rounds needed = component
+    // diameter; near-dup clusters are shallow, so 50 rounds means the input
+    // is not a near-dup graph (or maxIter was lowered deliberately).
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge within $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise maxIter")
     labels
   }
 

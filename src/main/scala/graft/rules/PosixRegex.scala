@@ -52,7 +52,13 @@ object PosixRegex {
     val result =
       try Some(Pattern.compile(translate(posix)))
       catch { case _: PatternSyntaxException => None }
-    if (cache.size < MaxEntries) cache.putIfAbsent(posix, result)
+    // bounded with reset-on-full rather than insert-refusal: refusing inserts
+    // would permanently lock out schema patterns first seen AFTER document
+    // noise filled the cache (per-row recompiles forever); clearing lets the
+    // hot patterns re-enter immediately, and the transient recompile burst is
+    // bounded by MaxEntries
+    if (cache.size >= MaxEntries) cache.clear()
+    cache.putIfAbsent(posix, result)
     result
   }
 

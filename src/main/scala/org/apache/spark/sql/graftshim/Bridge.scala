@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until the async listener bus has delivered all queued events
+    * (private[spark] LiveListenerBus.waitUntilEmpty) — task-metrics
+    * accumulation reads exact per-run deltas, and a poll-until-stable
+    * heuristic can snapshot early under driver GC pauses. Returns false on
+    * timeout instead of throwing. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }
