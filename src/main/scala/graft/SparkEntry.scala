@@ -212,6 +212,38 @@ object SparkEntry {
         .orderBy("event_id", "path")
     }),
 
+    "v_compiled" -> ((spark, dir) => {
+      // the compiled-schema API (reference §2.1 #5-#10, its recommended
+      // production path: README.md:448-463) routed through the gate: the
+      // schema text is deliberately MESSY — keys out of jsonb order, a
+      // DUPLICATE "maximum" key (jsonb last-wins: 99 is overridden by 50),
+      // extra whitespace — so a green row proves compile-time
+      // canonicalization produces the same rule set as eventsPropsSchema
+      // (same DuckDB oracle as v_json_valid).
+      implicit val s: SparkSession = spark
+      val messy =
+        """{ "properties": { "k": { "maximum": 99, "minimum": 0,
+          |                         "type": "integer", "maximum": 50 } },
+          |  "required": ["k"], "type": "object" }""".stripMargin
+      val compiled = graft.functions.CompiledJsonSchema.compile(messy)
+      t(dir, "events")
+        .select(col("event_id"), compiled.isValid(col("props")).as("valid"))
+        .orderBy("event_id")
+    }),
+
+    "v_validate_text" -> ((spark, dir) => {
+      // the raw-text validate form (reference jsonschema_validate returning
+      // the compact no-spaces JSON error array,
+      // expected/json_schema_validate.out:573-577) pinned byte-for-byte at
+      // table scale: DuckDB builds the identical string.
+      implicit val s: SparkSession = spark
+      import graft.functions.functions._
+      t(dir, "events")
+        .select(col("event_id"),
+          jsonschema_validate(col("props"), eventsPropsSchema).as("errors"))
+        .orderBy("event_id")
+    }),
+
     // ---- relational operator checklist (SURVEY.md §2.5) ------------------
     // Money columns are parquet DOUBLE; CAST(double AS DECIMAL) rounds
     // differently across engines (Spark: shortest-decimal-string HALF_UP;
@@ -403,6 +435,42 @@ object SparkEntry {
         .violationsSample(t(dir, "documents"), "doc_id", perRule = 5)
     }),
 
+    "v_resume" -> ((spark, dir) => {
+      // driver-visible RESUME evidence (north_rule resumability): the full
+      // ValidationPipeline runs over a staged 4-partition copy of documents.
+      // Run 1 validates all 4 partitions and checkpoints the manifest per
+      // batch; the manifest is then TRUNCATED to its first 2 partition
+      // entries (simulating a kill after the first batch's checkpoint);
+      // run 2 must skip the 2 checkpointed partitions and validate only the
+      // remaining 2. Output is (run, partitions_validated,
+      // partitions_skipped) as recorded by the pipeline itself; the oracle
+      // is the expected constant table.
+      implicit val s: SparkSession = spark
+      import spark.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-resume-corpus").toString
+      t(dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          pmod(col("doc_id"), lit(4)).cast(IntegerType).as("part"))
+        .write.mode("overwrite").partitionBy("part").parquet(staged)
+      val outDir = java.nio.file.Files.createTempDirectory("graft-resume-out").toString
+      val suite =
+        """{ "rules": { "doc_id": { "required": true },
+          |             "n_chars": { "maximum": 300 } } }""".stripMargin
+      val r1 = pipeline.ValidationPipeline.run(spark, staged, suite, outDir,
+        snapshotId = "snap-1", batchSize = 2)
+      val hash = SuiteCompiler.compile(suite).suiteHash
+      val m = pipeline.Manifest.loadOrEmpty(s"$outDir/manifest.json", "snap-1", hash)
+      val truncated = new pipeline.Manifest("snap-1", hash, m.entries.filter(_._1 < 2))
+      pipeline.Manifest.save(truncated, s"$outDir/manifest.json")
+      val r2 = pipeline.ValidationPipeline.run(spark, staged, suite, outDir,
+        snapshotId = "snap-1", batchSize = 2)
+      Seq(
+        (1L, (r1.verdicts.size - r1.resumedSkipped).toLong, r1.resumedSkipped.toLong),
+        (2L, (r2.verdicts.size - r2.resumedSkipped).toLong, r2.resumedSkipped.toLong))
+        .toDF("run", "partitions_validated", "partitions_skipped")
+        .orderBy("run")
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "d_exact_dups" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
@@ -445,6 +513,31 @@ object SparkEntry {
       val docs3 = t(dir, "documents").where(size(Dedup.words(col("text"))) >= 3)
       Dedup.nearDuplicates(docs3, "doc_id", "text",
           numShingles = 3, bands = 16, rowsPerBand = 4, threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast(LongType).as("inter"), col("uni").cast(LongType).as("uni"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d_neardup_capped" -> ((spark, dir) => {
+      // exercises the LSH hot-bucket cap (Dedup.nearDuplicates maxBucket —
+      // at web scale ONE degenerate boilerplate bucket is quadratic, so the
+      // cap must be judged, not dead code): a 40-doc boilerplate cluster
+      // (identical synthetic text, ids >= 10^7, far above real doc_ids) is
+      // unioned into the corpus. All 16 of its band buckets have size 40 >
+      // maxBucket=39 and are dropped by the broadcast anti-join, so the
+      // output must equal the UNCAPPED result on the real documents alone —
+      // exactly the exhaustive all-pairs-Jaccard DuckDB oracle (the
+      // d_neardup_lsh SQL). Without the cap this query would also return the
+      // 40*39/2 = 780 boilerplate pairs (pinned in OpsSpec).
+      implicit val s: SparkSession = spark
+      val boiler = spark.range(40).select(
+        (col("id") + lit(10000000L)).as("doc_id"),
+        lit("quick brown fox jumps over the lazy dog again and again").as("text"))
+      val docs3 = t(dir, "documents").select(col("doc_id"), col("text"))
+        .where(size(Dedup.words(col("text"))) >= 3)
+        .unionByName(boiler)
+      Dedup.nearDuplicates(docs3, "doc_id", "text",
+          numShingles = 3, bands = 16, rowsPerBand = 4, threshold = 0.7, maxBucket = 39)
         .select(col("id_a"), col("id_b"),
           col("inter").cast(LongType).as("inter"), col("uni").cast(LongType).as("uni"))
         .orderBy("id_a", "id_b")
@@ -562,9 +655,10 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast(ArrayType(DoubleType))).head().getSeq[Double](0)
       val qlit = array(q.map(v => lit(math.round(v * 1e7))): _*)
-      val scaled = transform(col("embedding").cast(ArrayType(DoubleType)),
-        x => round(x * 1e7).cast(LongType))
-      val dot = aggregate(zip_with(scaled, qlit, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      // codegen'd scale + dot (same integer math as the HOF formulation it
+      // replaces; the map-side scan stage keeps whole-stage codegen)
+      val dot = graft.functions.ScaledIntDot(
+        graft.functions.ScaleVec(col("embedding").cast(ArrayType(DoubleType))), qlit)
       emb.select(col("vec_id"), dot.as("dot_scaled"))
         .orderBy(desc("dot_scaled"), col("vec_id"))
         .limit(10)
@@ -589,8 +683,10 @@ object SparkEntry {
       val buckets = SignBucket.probeBuckets(SignBucket.compute(qd.toArray, planes),
         planes, probeBits)
       val qlit = array(qd.map(v => lit(SignBucket.scaleComponent(v))): _*)
-      val scaled = transform(col("vec"), x => round(x * 1e7).cast(LongType))
-      val dot = ScaledIntDot(scaled, qlit) // codegen'd: no HOF in the projection
+      // the index stores the int64-scaled vector (`sv`, written once by the
+      // codegen'd ScaleVec at build time), so the lookup projection is pure
+      // ScaledIntDot — genuinely no HOF anywhere in the read path
+      val dot = ScaledIntDot(col("sv"), qlit)
       spark.read.parquet(idx)
         .where(col("bucket").isin(buckets: _*))
         .select(col("id").as("vec_id"), dot.as("dot_scaled"))
@@ -620,8 +716,7 @@ object SparkEntry {
         val qscaled = qv.map(SignBucket.scaleComponent).toSeq
         SignBucket.probeBuckets(bucket, planes, probeBits).map(b => (qid, b, qscaled))
       }.toDF("q_id", "bucket", "qscaled")
-      val scaled = transform(col("vec"), x => round(x * 1e7).cast(LongType))
-      val dot = ScaledIntDot(scaled, col("qscaled"))
+      val dot = ScaledIntDot(col("sv"), col("qscaled")) // sv pre-scaled at index build
       val cand = spark.read.parquet(idx).join(broadcast(probes), "bucket")
         .select(col("q_id"), col("id").as("vec_id"), dot.as("dot_scaled"))
       import org.apache.spark.sql.expressions.Window
@@ -638,11 +733,13 @@ object SparkEntry {
       // (dot^2 * 25 >= 4 * |a|^2 * |b|^2, dot > 0) on int64-scaled vectors,
       // so DuckDB reproduces bucketing AND thresholding bit-exactly.
       implicit val s: SparkSession = spark
-      import graft.functions.ScaledIntDot
+      import graft.functions.{ScaledIntDot, ScaleVec}
       val planes = 4
       val vecD = col("embedding").cast(ArrayType(DoubleType))
+      // ScaleVec = codegen'd round(x*1e7) per component (bit-identical to the
+      // transform/round HOF it replaces, without the CodegenFallback lambda)
       val base = t(dir, "embeddings").select(col("vec_id").as("id"),
-        transform(vecD, x => round(x * 1e7).cast(LongType)).as("sv"),
+        ScaleVec(vecD).as("sv"),
         Similarity.signBucket(vecD, planes).as("bucket"))
       // codegen'd integer dot (ScaledIntDot): an interpreted HOF reduction in
       // the join's threshold predicate would disable whole-stage codegen for
@@ -878,6 +975,29 @@ object SparkEntry {
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
         |ORDER BY event_id, path""".stripMargin,
 
+    // same oracle as v_json_valid: the compiled handle (messy schema text,
+    // duplicate key, unordered keys) must canonicalize to the same rule set
+    "v_compiled" ->
+      """SELECT event_id,
+        |       (CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 0 AND 50) AS valid
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // byte-exact raw-text form: the reference's compact no-spaces error array
+    "v_validate_text" ->
+      """SELECT event_id,
+        |       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |            THEN '[{"path":"k","message":"Value exceeds maximum"}]'
+        |            ELSE '[]' END AS errors
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // resume evidence: the expected constant table (4 staged partitions;
+    // run 1 fresh, manifest truncated to 2 entries, run 2 skips those 2)
+    "v_resume" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+        |                      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
+        |  AS t(run, partitions_validated, partitions_skipped)
+        |ORDER BY run""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -985,6 +1105,31 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
 
     "d_neardup_lsh" ->
+      """WITH dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents) WHERE len(words) >= 3),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+        |      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |gs AS (SELECT DISTINCT doc_id, gram FROM g),
+        |sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY 1),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |      FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+        |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // capped LSH: the 40-doc boilerplate cluster's buckets all exceed
+    // maxBucket=39 and are dropped, so the capped result over
+    // (documents + boilerplate) equals the exhaustive all-pairs Jaccard over
+    // the REAL documents alone — the identical SQL as d_neardup_lsh
+    "d_neardup_capped" ->
       """WITH dw AS (SELECT doc_id, words FROM (
         |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
         |                                    w -> w <> '') AS words

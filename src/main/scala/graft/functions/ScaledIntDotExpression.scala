@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
  * same pattern as MinHashSignature / SignBucket.
  *
  * Null semantics match the HOF formulation: null array -> null; a null
- * ELEMENT poisons the sum -> null. Length mismatch uses the shorter side
- * (zip_with would null-pad; for the engine's equal-dim vectors this never
- * fires — documented, not load-bearing).
+ * ELEMENT poisons the sum -> null; a LENGTH MISMATCH yields null (zip_with
+ * null-pads the shorter side, and x * null poisons the aggregate) — loud
+ * parity rather than a silent shorter-side sum if unequal-dim vectors ever
+ * reach a scale path.
  */
 case class ScaledIntDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -35,7 +36,8 @@ case class ScaledIntDot(left: Expression, right: Expression) extends BinaryExpre
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null // zip_with null-pad parity
+    val n = a.numElements()
     var s = 0L
     var i = 0
     while (i < n) {

@@ -87,27 +87,44 @@ object Similarity {
    * the probed buckets only — never the full corpus. At 100 TB this is the
    * write-once/read-many shape: the per-query cost is O(corpus / 2^planes ×
    * probed buckets), not O(corpus).
+   *
+   * Alongside the raw vector the index stores the int64-SCALED vector (`sv`)
+   * and its squared norm (`n2`), both from codegen'd expressions, so lookup
+   * projections are pure ScaledIntDot + arithmetic — NO higher-order function
+   * (CodegenFallback) ever appears in the read path.
    */
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,
-                 planes: Int, path: String): Unit =
+                 planes: Int, path: String): Unit = {
+    import graft.functions.{ScaledIntDot, ScaleVec}
     df.select(col(idCol).as("id"), col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .withColumn("sv", ScaleVec(col("vec")))
+      .withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
       .withColumn("bucket", signBucket(col("vec"), planes))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
 
   /** Multi-probe lookup against a [[buildIndex]] table: reads ONLY the
     * partitions of the query's bucket plus its Hamming-<=probeBits neighbor
     * buckets (partition pruning — verify with .explain: PartitionFilters).
-    * Returns exact cosine top-k within the probed candidate set. */
+    * Returns exact cosine top-k within the probed candidate set. The cosine
+    * is computed from the indexed scaled vector and stored norm via the
+    * codegen'd ScaledIntDot — the projection stays inside whole-stage
+    * codegen (no interpreted lambda over the probed set). */
   def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                      query: Seq[Double], k: Int, planes: Int,
                      probeBits: Int = 1): DataFrame = {
-    import graft.functions.SignBucket
+    import graft.functions.{ScaledIntDot, SignBucket}
     val qBucket = SignBucket.compute(query.toArray, planes)
     val buckets = SignBucket.probeBuckets(qBucket, planes, probeBits)
-    val q = array(query.map(lit(_)): _*)
+    val qScaled = query.map(SignBucket.scaleComponent)
+    val qNorm = math.sqrt(qScaled.map(x => x.toDouble * x).sum)
+    val qlit = array(qScaled.map(lit(_)): _*)
+    val dot = ScaledIntDot(col("sv"), qlit)
     spark.read.parquet(indexPath)
       .where(col("bucket").isin(buckets: _*))
-      .select(col("id"), cosine(col("vec"), q).as("cosine"))
+      .select(col("id"),
+        (dot.cast(DoubleType) / (sqrt(col("n2").cast(DoubleType)) * lit(qNorm)))
+          .as("cosine"))
       .orderBy(desc("cosine"), col("id"))
       .limit(k)
   }

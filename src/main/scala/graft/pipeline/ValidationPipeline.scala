@@ -103,8 +103,15 @@ object ValidationPipeline {
     var manifest = Manifest.loadOrEmpty(manifestPath, snapshotId, compiled.suiteHash)
 
     // fresh lineage (new snapshot or rule set, or first run): clear any stale
-    // violations so outputs from different runs never mix
-    if (manifest.entries.isEmpty) deleteRecursively(new java.io.File(s"$outDir/violations"))
+    // violations so outputs from different runs never mix. Resolved through
+    // the Hadoop FileSystem so the cleanup works on ANY supported filesystem
+    // (hdfs://, s3a://) — java.io.File would be a silent no-op on non-local
+    // URIs while the parquet writes succeed, mixing lineages.
+    if (manifest.entries.isEmpty) {
+      val vPath = new org.apache.hadoop.fs.Path(s"$outDir/violations")
+      val fs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(vPath)) fs.delete(vPath, true)
+    }
 
     val corpus = spark.read.parquet(corpusPath)
     val allParts = corpus.select("part").distinct().collect().map(_.getInt(0)).sorted
@@ -148,10 +155,5 @@ object ValidationPipeline {
     }
 
     RunResult(manifest.entries.values.toSeq.sortBy(_.part), skipped, dupCount)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
   }
 }

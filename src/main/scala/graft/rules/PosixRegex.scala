@@ -23,9 +23,11 @@ import java.util.regex.{Pattern, PatternSyntaxException}
  * expression feed DOCUMENT-derived strings through here, and the reference
  * compiles-and-frees doc-supplied regexes (c:1816-1829) rather than caching
  * them — an unbounded map would leak executor memory on a long-lived scan
- * over high-cardinality data. Schema-originated patterns (a small fixed set,
- * compiled at suite-build time) always land in the cache first; once the cap
- * is reached, further misses compile without inserting.
+ * over high-cardinality data. Policy is RESET-ON-FULL: when the cap is
+ * reached the cache is cleared and the new entry inserted, so hot
+ * schema-originated patterns (a small fixed set) re-enter immediately after
+ * a document-noise flush; the transient recompile burst is bounded by
+ * MaxEntries (see the inline note at the insert site).
  */
 object PosixRegex {
   private val MaxEntries = 4096

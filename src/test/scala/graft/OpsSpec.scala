@@ -198,6 +198,27 @@ class SimilaritySpec extends AnyFunSuite {
     // recall sanity: the query vector itself is always in its own bucket
     assert(gotIds.contains(5L))
   }
+
+  test("ScaleVec == transform/round HOF it replaces; ScaledIntDot nulls on length mismatch") {
+    import org.apache.spark.sql.types._
+    import graft.functions.{ScaledIntDot, ScaleVec}
+    val rnd = new scala.util.Random(13)
+    val data = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("id", "v")
+    val rows = data.select(
+      ScaleVec(col("v")).as("sv"),
+      transform(col("v"), x => round(x * 1e7).cast(LongType)).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // length mismatch -> NULL (zip_with null-pad parity), never a silent
+    // shorter-side sum
+    val m = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+      .select(ScaledIntDot(col("a"), col("b"))).head()
+    assert(m.isNullAt(0))
+    // equal-dim sanity
+    val d = Seq((Seq(2L, 3L), Seq(5L, 7L))).toDF("a", "b")
+      .select(ScaledIntDot(col("a"), col("b"))).head().getLong(0)
+    assert(d === 31L)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -245,6 +266,16 @@ class DedupClusterSpec extends AnyFunSuite {
     val got = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("pointer jumping: a diameter-8 chain converges in <= 5 rounds") {
+    // plain min-label propagation needs O(diameter) = 8 rounds on this
+    // chain; the per-round pointer jump (path halving) gets it done in 4
+    val pairs = (1L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 9L).map(_ -> 1L).toMap)
+    assert(rounds <= 5, s"took $rounds rounds")
   }
 
   test("end-to-end: near-dup pairs -> clusters -> keep one doc per cluster") {

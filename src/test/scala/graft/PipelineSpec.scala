@@ -179,6 +179,20 @@ class CompiledSchemaSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cs.hash.length === 16)
   }
 
+  test("canonicalization: key reorder + duplicate key compile to the same rule set") {
+    // jsonb semantics (the reference's storage model): keys sorted in jsonb
+    // order, duplicate keys last-wins — a messy author-ordered schema with a
+    // stale duplicate "maximum": 99 must canonicalize to the clean one
+    val clean = CompiledJsonSchema.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
+    val messy = CompiledJsonSchema.compile(
+      """{ "properties": { "k": { "maximum": 99, "minimum": 0,
+        |                         "type": "integer", "maximum": 50 } },
+        |  "required": ["k"], "type": "object" }""".stripMargin)
+    assert(messy.canonical === clean.canonical)
+    assert(messy.hash === clean.hash) // manifest lineage agrees too
+  }
+
   test("compile fails fast on malformed or non-object/bool schemas") {
     intercept[graft.json.JsonParseException](CompiledJsonSchema.compile("{nope"))
     intercept[IllegalArgumentException](CompiledJsonSchema.compile("42"))

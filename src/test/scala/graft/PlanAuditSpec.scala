@@ -54,6 +54,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined, plan.take(2000))
   }
 
+  test("ANN read paths are HOF-free (no interpreted lambda in the lookup projection)") {
+    // the index stores the pre-scaled vector, so neither the single-query nor
+    // the batch lookup plan may contain a lambdafunction (CodegenFallback)
+    for (q <- Seq("s_ann_lsh", "s_ann_batch")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction"), s"$q plan has a HOF: ${plan.take(2000)}")
+    }
+  }
+
+  test("ANN at planes=16: multi-probe lookup touches <= 1% of rows and bucket partitions") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.functions.SignBucket
+    val rnd = new scala.util.Random(17)
+    val n = 3000
+    val data = (0L until n.toLong).map(i =>
+      (i, Seq.fill(32)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann16-spec").toString
+    graft.ops.Similarity.buildIndex(data, "vec_id", "embedding", planes = 16, idx)
+    val q = data.where(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val probeSet = SignBucket.probeBuckets(SignBucket.compute(q.toArray, 16), 16, 1)
+    assert(probeSet.size === 17) // own bucket + 16 Hamming-1 neighbors
+    val idxDf = spark.read.parquet(idx)
+    val rowsTotal = idxDf.count()
+    val rowsProbed = idxDf.where(col("bucket").isin(probeSet: _*)).count()
+    val bucketsTotal = idxDf.select("bucket").distinct().count()
+    assert(rowsTotal === n.toLong)
+    assert(rowsProbed >= 1) // the query's own bucket always has its own row
+    assert(rowsProbed.toDouble / rowsTotal <= 0.01,
+      s"probed $rowsProbed of $rowsTotal rows")
+    assert(probeSet.size.toDouble / bucketsTotal <= 0.01,
+      s"probe set ${probeSet.size} of $bucketsTotal materialized buckets")
+    // the lookup answers correctly within the probed set
+    val top = graft.ops.Similarity.annTopKIndexed(spark, idx, q, k = 3,
+      planes = 16, probeBits = 1).collect()
+    assert(top.nonEmpty && top.head.getLong(0) === 7L) // self is rank 1
+  }
+
   test("verdict aggregation is a partial+final hash aggregate (map-side combine)") {
     val compiled = graft.rules.SuiteCompiler.compile(SparkEntry.documentsSuite)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
