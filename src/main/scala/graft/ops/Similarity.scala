@@ -103,6 +103,58 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
+  /**
+   * Prefix-partitioned ANN index for HIGH plane counts (planes >= ~13):
+   * flat partitionBy(bucket) would create up to 2^planes directories of tiny
+   * files — a filesystem-metadata explosion at planes=16 (65536 dirs). Here
+   * the partition column is the TOP `prefixBits` bits of the bucket
+   * (2^prefixBits directories, bounded regardless of planes) and rows are
+   * sorted by bucket within each partition, so the lookup combines
+   * partition pruning on `part` with a pushed `bucket IN (...)` parquet
+   * filter (row-group min/max skipping on the sorted column). Per-lookup
+   * data read: the probed prefix partitions (<= probeBits x prefixBits + 1
+   * of 2^prefixBits dirs); candidate rows: corpus x probeSet/2^planes.
+   */
+  def buildIndexPrefixed(df: DataFrame, idCol: String, vecCol: String,
+                         planes: Int, prefixBits: Int, path: String): Unit = {
+    import graft.functions.{ScaledIntDot, ScaleVec}
+    val shift = planes - prefixBits
+    require(prefixBits > 0 && shift >= 0, "need 0 < prefixBits <= planes")
+    df.select(col(idCol).as("id"), col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .withColumn("sv", ScaleVec(col("vec")))
+      .withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
+      .withColumn("bucket", signBucket(col("vec"), planes))
+      .withColumn("part", shiftrightunsigned(col("bucket"), shift))
+      .repartition(col("part"))            // one writer task per prefix dir
+      .sortWithinPartitions("part", "bucket") // row-group min/max on bucket
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+  }
+
+  /** Multi-probe lookup against a [[buildIndexPrefixed]] table: partition
+    * pruning on the bucket prefix + pushed bucket-IN filter inside the
+    * probed partitions. Same HOF-free cosine projection as
+    * [[annTopKIndexed]]. */
+  def annTopKIndexedPrefixed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                             query: Seq[Double], k: Int, planes: Int, prefixBits: Int,
+                             probeBits: Int = 1): DataFrame = {
+    import graft.functions.{ScaledIntDot, SignBucket}
+    val shift = planes - prefixBits
+    val qBucket = SignBucket.compute(query.toArray, planes)
+    val buckets = SignBucket.probeBuckets(qBucket, planes, probeBits)
+    val parts = buckets.map(_ >>> shift).distinct
+    val qScaled = query.map(SignBucket.scaleComponent)
+    val qNorm = math.sqrt(qScaled.map(x => x.toDouble * x).sum)
+    val qlit = array(qScaled.map(lit(_)): _*)
+    val dot = ScaledIntDot(col("sv"), qlit)
+    spark.read.parquet(indexPath)
+      .where(col("part").isin(parts: _*) && col("bucket").isin(buckets: _*))
+      .select(col("id"),
+        (dot.cast(DoubleType) / (sqrt(col("n2").cast(DoubleType)) * lit(qNorm)))
+          .as("cosine"))
+      .orderBy(desc("cosine"), col("id"))
+      .limit(k)
+  }
+
   /** Multi-probe lookup against a [[buildIndex]] table: reads ONLY the
     * partitions of the query's bucket plus its Hamming-<=probeBits neighbor
     * buckets (partition pruning — verify with .explain: PartitionFilters).

@@ -93,6 +93,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(top.nonEmpty && top.head.getLong(0) === 7L) // self is rank 1
   }
 
+  test("prefix-partitioned planes=16 index: pruned on part, bucket filter pushed, parity") {
+    // flat partitionBy(bucket) at planes=16 is a 65k-directory explosion;
+    // the scale shape is 2^prefixBits dirs + bucket-sorted row groups
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.functions.SignBucket
+    val rnd = new scala.util.Random(23)
+    val n = 5000
+    val data = (0L until n.toLong).map(i =>
+      (i, Seq.fill(24)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-annpfx-spec").toString
+    graft.ops.Similarity.buildIndexPrefixed(data, "vec_id", "embedding",
+      planes = 16, prefixBits = 8, idx)
+    // bounded file layout: at most 256 prefix dirs regardless of planes
+    val dirs = new java.io.File(idx).listFiles().count(f => f.getName.startsWith("part="))
+    assert(dirs > 0 && dirs <= 256, s"$dirs prefix dirs")
+    val q = data.where(col("vec_id") === 11L).select(col("embedding")).head().getSeq[Double](0)
+    val got = graft.ops.Similarity.annTopKIndexedPrefixed(spark, idx, q, k = 5,
+      planes = 16, prefixBits = 8, probeBits = 1)
+    val plan = got.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*part""".r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert("""PushedFilters: \[[^\]]*In\(bucket""".r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert(!plan.contains("lambdafunction"), plan.take(2000))
+    val gotIds = got.collect().map(_.getLong(0))
+    assert(gotIds.headOption.contains(11L)) // self is rank 1 within its bucket
+    // parity with the unindexed formulation restricted to the probed buckets
+    val probeSet = SignBucket.probeBuckets(SignBucket.compute(q.toArray, 16), 16, 1)
+    val want = data
+      .withColumn("b", graft.ops.Similarity.signBucket(col("embedding"), 16))
+      .where(col("b").isin(probeSet: _*))
+      .select(col("vec_id"),
+        graft.ops.Similarity.cosine(col("embedding"), array(q.map(lit(_)): _*)).as("c"))
+      .orderBy(desc("c"), col("vec_id")).limit(5)
+      .collect().map(_.getLong(0))
+    assert(gotIds === want)
+  }
+
   test("verdict aggregation is a partial+final hash aggregate (map-side combine)") {
     val compiled = graft.rules.SuiteCompiler.compile(SparkEntry.documentsSuite)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
