@@ -136,7 +136,18 @@ object Similarity {
     * [[annTopKIndexed]]. */
   def annTopKIndexedPrefixed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                              query: Seq[Double], k: Int, planes: Int, prefixBits: Int,
-                             probeBits: Int = 1): DataFrame = {
+                             probeBits: Int = 1): DataFrame =
+    annTopKIndexedPrefixed(spark.read.parquet(indexPath), query, k, planes,
+      prefixBits, probeBits)
+
+  /** Serving-path form of [[annTopKIndexedPrefixed]]: the index RELATION is
+    * loaded once and reused across queries — re-resolving the parquet
+    * relation per lookup pays partition discovery + analysis every call
+    * (measured ~0.8 s of pure driver overhead per query at 256 partitions),
+    * which dwarfs the pruned scan itself. */
+  def annTopKIndexedPrefixed(index: DataFrame, query: Seq[Double], k: Int,
+                             planes: Int, prefixBits: Int,
+                             probeBits: Int): DataFrame = {
     import graft.functions.{ScaledIntDot, SignBucket}
     val shift = planes - prefixBits
     val qBucket = SignBucket.compute(query.toArray, planes)
@@ -146,7 +157,7 @@ object Similarity {
     val qNorm = math.sqrt(qScaled.map(x => x.toDouble * x).sum)
     val qlit = array(qScaled.map(lit(_)): _*)
     val dot = ScaledIntDot(col("sv"), qlit)
-    spark.read.parquet(indexPath)
+    index
       .where(col("part").isin(parts: _*) && col("bucket").isin(buckets: _*))
       .select(col("id"),
         (dot.cast(DoubleType) / (sqrt(col("n2").cast(DoubleType)) * lit(qNorm)))
