@@ -562,7 +562,9 @@ object Bench {
          |single machine's bandwidth and frequency limits — on a real cluster
          |each added executor brings its own memory bus and clock headroom.
          |2 -> 8 stays in the regime that executor scaling actually resembles.
-         |$annMd$scalarMd""".stripMargin
+         |""".stripMargin + annMd + scalarMd
+    // (annMd/scalarMd are appended AFTER stripMargin — interpolating them
+    // into the margin template would strip their tables' leading pipes)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH/BASELINE.md"),
       md.getBytes("UTF-8"))
   }
