@@ -84,13 +84,14 @@ object Bench {
     * the cpu8/cpu2 ratio, it cannot credit genuine parallel CPU overhead
     * (lock spinning, cache contention) back to the engine. Returns seconds
     * for the fixed work. */
-  private val ProbeIters = 1200000000L
+  private final val ProbeIters = 1200000000L
   private def clockProbeSec(s: SparkSession): Double = {
+    val iters = ProbeIters
     val ns = s.sparkContext.parallelize(Seq(0), 1).map { _ =>
       val t0 = System.nanoTime
       var x = 0x9E3779B97F4A7C15L
       var i = 0L
-      while (i < 1200000000L) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
       val dt = System.nanoTime - t0
       if (x == 42L) sys.error("unreachable (defeats DCE)")
       dt
@@ -203,7 +204,10 @@ object Bench {
     // each added executor brings its own memory bus). 2→8 keeps the job in
     // the compute-bound regime that executor scaling actually resembles.
     // The 8→32 pair is measured and reported too (key "scaling_8_32").
-    val scalingJson = if (skipScaling) "" else try {
+    // (full-detail scaling JSON for BENCH/last.json, short headline JSON for
+    // the stdout contract line) — built from the same in-scope values, never
+    // re-parsed out of the formatted string
+    val (scalingJson, shortScalingJson) = if (skipScaling) ("", "") else try {
       val corpusPath = s"/dev/shm/graft-bench-corpus-$benchRows"
       if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
         CorpusGen.writePartitioned(
@@ -246,25 +250,37 @@ object Bench {
         // identical on both sides of a pair, so it nearly cancels in the
         // ratio.
         val probeNs = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val probeEndNs = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
         val probeThread = new Thread(() => {
-          try { Thread.sleep(probeDelayMs); probeNs.set((clockProbeSec(s) * 1e9).toLong) }
-          catch { case _: Throwable => () }
+          try {
+            Thread.sleep(probeDelayMs)
+            probeNs.set((clockProbeSec(s) * 1e9).toLong)
+            probeEndNs.set(System.nanoTime())
+          } catch { case _: Throwable => () }
         })
         probeThread.setDaemon(true)
         probeThread.start()
         var rows = 0L
-        val t = timeSec { rows = validationJob(s, corpusPath) }
+        val t0 = System.nanoTime()
+        rows = validationJob(s, corpusPath)
+        val jobEndNs = System.nanoTime()
+        val t = (jobEndNs - t0) / 1e9
         probeThread.join(120000)
         settle(s)
         val (cpu1, run1, _) = ml.snap
+        val _ = run1
         s.stop()
-        val probeSec = probeNs.get / 1e9
+        // the probe is only a valid clock sample if it ran ENTIRELY inside
+        // the job window — a probe finishing after job end sampled the
+        // recovered idle clock (governors react in ms), the exact bias the
+        // mid-run design exists to avoid. Invalid -> -1 -> the pair falls
+        // back to the cpu estimator (probeSkew).
+        val probeSec =
+          if (probeNs.get > 0 && probeEndNs.get <= jobEndNs) probeNs.get / 1e9 else -1.0
         // deduct the probe task's own time from the job's metrics (it is
         // single-threaded and cpu-bound, so cpu ~= elapsed)
         val probeAdj = if (probeSec > 0) probeSec else 0.0
         val cpuSec = math.max((cpu1 - cpu0) / 1e9 - probeAdj, 0.001)
-        val runMsAdj = math.max((run1 - run0) - (probeAdj * 1000).toLong, 1L)
-        val _ = runMsAdj
         Run(t, rows, cpuSec, cpuSec / (t * n), probeSec)
       }
       // JVM/FS/codegen warm-up at 8 cores (fast) — warming at 2 cores would
@@ -340,11 +356,16 @@ object Bench {
       val ann16 = try {
         if (System.nanoTime() > deadline) None else {
           val s = session(32)
+          try {
           import org.apache.spark.sql.types._
           import graft.functions.{ScaledIntDot, ScaleVec, SignBucket}
           val dims = 32; val nVecs = 400000L
           val planes = 16; val prefixBits = 8
-          val tblPath = s"/dev/shm/graft-bench-embtbl-$nVecs"
+          // cache key carries rows AND dims AND a generator version — a
+          // rows-only key would silently serve a stale table after a
+          // dims/formula change (the staleness class the annIndexes comment
+          // in SparkEntry warns about)
+          val tblPath = s"/dev/shm/graft-bench-embtbl-$nVecs-d$dims-v1"
           if (!new java.io.File(s"$tblPath/_SUCCESS").exists()) {
             s.range(nVecs).select(col("id").as("vec_id"),
                 transform(sequence(lit(0), lit(dims - 1)),
@@ -383,9 +404,13 @@ object Bench {
           val partsProbed = probeSet.map(_ >>> (planes - prefixBits)).distinct
           val rowsRead = idxDf.where(col("part").isin(partsProbed: _*)).count()
           val rowsCandidates = idxDf.where(col("bucket").isin(probeSet: _*)).count()
-          s.stop()
           Some((tBuild, tLookup, tFull, rowsTotal, rowsRead, rowsCandidates,
             partsProbed.size, probeSet.size))
+          // finally (not at success only): a leaked live local[32] context
+          // would be silently reused by the scalar sessions below —
+          // getOrCreate ignores the new master — and publish 32-core numbers
+          // as the 2- and 8-core scalar measurements
+          } finally s.stop()
         }
       } catch { case e: Throwable => System.err.println(s"[bench] ann16: $e"); None }
       // secondary evidence: the reference's actual hot path (scalar JSON
@@ -411,11 +436,15 @@ object Bench {
       val ann16Json = ann16.map { case (tb, tl, tf, rt, rr, rc, pp, bp) =>
         f""","ann_planes16":{"build_sec":$tb%.3f,"lookup_sec":$tl%.3f,"fullscan_sec":$tf%.3f,"rows_total":$rt,"rows_read":$rr,"rows_read_fraction":${rr.toDouble / math.max(rt, 1)}%.5f,"rows_candidates":$rc,"rows_candidate_fraction":${rc.toDouble / math.max(rt, 1)}%.6f,"partitions_probed":$pp,"partitions_total":256,"buckets_probed":$bp}"""
       }.getOrElse("")
-      f""","scaling":{"rows":$rows8,"n_cores":2,"n4_cores":8,"t_n_sec":$t2%.3f,"t_n4_sec":$t8%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong},"efficiency":$effProbe%.3f,"efficiency_probe_corrected":$effProbe%.3f,"efficiency_cpu_corrected":$effCpu%.3f,"efficiency_wall":$effWall%.3f,"efficiency_band":[$effLo%.3f,$effHi%.3f],"runs":"median of interleaved pair ratios; headline = probe-corrected (t2/t8)/4 x (probe8/probe2) with a mid-run fixed-work clock probe; cpu- and wall- variants reported alongside","cpu_sec_n":$cpu2%.1f,"cpu_sec_n4":$cpu8%.1f,"cpu_utilization_n":$occ2%.2f,"cpu_utilization_n4":$occ8%.2f,"pairs":$pairsJson},"scaling_8_32":{"t_8_sec":$t8%.3f,"t_32_sec":$t32%.3f,"efficiency_cpu_corrected":$eff832%.3f}""" + scalarJson + ann16Json
+      val full =
+        f""","scaling":{"rows":$rows8,"n_cores":2,"n4_cores":8,"t_n_sec":$t2%.3f,"t_n4_sec":$t8%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong},"efficiency":$effProbe%.3f,"efficiency_probe_corrected":$effProbe%.3f,"efficiency_cpu_corrected":$effCpu%.3f,"efficiency_wall":$effWall%.3f,"efficiency_band":[$effLo%.3f,$effHi%.3f],"runs":"median of interleaved pair ratios; headline = probe-corrected (t2/t8)/4 x (probe8/probe2) with a mid-run fixed-work clock probe; cpu- and wall- variants reported alongside","cpu_sec_n":$cpu2%.1f,"cpu_sec_n4":$cpu8%.1f,"cpu_utilization_n":$occ2%.2f,"cpu_utilization_n4":$occ8%.2f,"pairs":$pairsJson},"scaling_8_32":{"t_8_sec":$t8%.3f,"t_32_sec":$t32%.3f,"efficiency_cpu_corrected":$eff832%.3f}""" + scalarJson + ann16Json
+      val short =
+        f""","scaling":{"efficiency":$effProbe%.3f,"efficiency_probe_corrected":$effProbe%.3f,"efficiency_cpu_corrected":$effCpu%.3f,"efficiency_wall":$effWall%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong}}"""
+      (full, short)
     } catch {
       // the headline JSON line must reach stdout even if the scaling section
       // dies (e.g. tmpfs pressure) — BENCH/BASELINE.md keeps the last good run
-      case e: Throwable => System.err.println(s"[bench] scaling failed: $e"); ""
+      case e: Throwable => System.err.println(s"[bench] scaling failed: $e"); ("", "")
     }
     if (!skipScaling) () else spark.stop()
 
@@ -428,18 +457,8 @@ object Bench {
     new java.io.File("BENCH").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH/last.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    val shortScaling = if (scalingJson.isEmpty) "" else {
-      // re-derive the three headline numbers from what was just computed by
-      // extracting them from the full JSON would be fragile; they are in
-      // scope only inside the try, so parse the few keys back out of the line
-      def grab(key: String): String = {
-        val m = java.util.regex.Pattern.compile("\"" + key + "\":([-0-9.]+)").matcher(fullLine)
-        if (m.find()) m.group(1) else "null"
-      }
-      s""","scaling":{"efficiency":${grab("efficiency")},"efficiency_probe_corrected":${grab("efficiency_probe_corrected")},"efficiency_cpu_corrected":${grab("efficiency_cpu_corrected")},"efficiency_wall":${grab("efficiency_wall")},"seqs_per_sec_n":${grab("seqs_per_sec_n")},"seqs_per_sec_n4":${grab("seqs_per_sec_n4")}}"""
-    }
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir%s","n_queries":${results.size}$shortScaling%s,"detail":"BENCH/last.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir%s","n_queries":${results.size}$shortScalingJson%s,"detail":"BENCH/last.json"}"""
     println(shortLine)
   }
 

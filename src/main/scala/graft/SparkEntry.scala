@@ -530,10 +530,18 @@ object SparkEntry {
       // d_neardup_lsh SQL). Without the cap this query would also return the
       // 40*39/2 = 780 boilerplate pairs (pinned in OpsSpec).
       implicit val s: SparkSession = spark
+      val real = t(dir, "documents").select(col("doc_id"), col("text"))
+      // boiler ids derived from the REAL max id (+ a gap), never hardcoded —
+      // a fixed base would collide if the corpus ever grows past it. The
+      // equality with the real-docs-only oracle additionally assumes no REAL
+      // band bucket reaches the cap (40 near-identical docs agreeing on a
+      // full 4-hash minhash band); the green gate row itself pins that for
+      // the shipped corpora, and a violation fails LOUDLY as a hash mismatch.
+      val base = real.agg(max("doc_id")).head().getLong(0) + 1000000L
       val boiler = spark.range(40).select(
-        (col("id") + lit(10000000L)).as("doc_id"),
+        (col("id") + lit(base)).as("doc_id"),
         lit("quick brown fox jumps over the lazy dog again and again").as("text"))
-      val docs3 = t(dir, "documents").select(col("doc_id"), col("text"))
+      val docs3 = real
         .where(size(Dedup.words(col("text"))) >= 3)
         .unionByName(boiler)
       Dedup.nearDuplicates(docs3, "doc_id", "text",

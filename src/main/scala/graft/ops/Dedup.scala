@@ -178,26 +178,28 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           (col("nmin").isNotNull && col("nmin") < col("cluster")).as("changed"))
+      // pin the neighbor-min result BEFORE the jump: the jump is a self-join
+      // of `updated`, and joining the un-materialized plan against itself
+      // would execute the dominant O(edges) join+aggregation twice per round
+      // (exchange reuse cannot fire — the two sides prune different columns).
+      // localCheckpoint (eager) also truncates lineage every round; without
+      // it the self-referential plan doubles per iteration.
+      val upd = updated.localCheckpoint()
       // pointer jump: every cluster value is itself a node id (labels start
       // as ids and only ever take other labels' values via min), so
-      // label(label(v)) is one self-equi-join. Left join + coalesce keeps
-      // the row even if the plan ever sees a label without a node row.
-      val jumpTo = updated.select(col("id").as("jid"), col("cluster").as("jcluster"))
-      val jumped = updated.join(jumpTo, updated("cluster") === col("jid"), "left")
-        .select(col("id"), coalesce(col("jcluster"), col("cluster")).as("cluster"),
-          col("changed"))
-      // localCheckpoint (eager) truncates lineage every round — without it the
-      // self-referential join plan doubles per iteration and deep components
-      // re-resolve the whole history; the checkpoint also serves as the cache.
-      // The convergence probe is one count on the materialized checkpoint
-      // blocks (no recompute). Convergence is detected from the NEIGHBOR step:
-      // zero neighbor-min changes means labels are already constant on every
-      // component (labels are equal across every edge by symmetry), and then
-      // the jump is the identity — sound even though the jump itself is not
-      // probed.
-      val pinned = jumped.localCheckpoint()
-      val changed = pinned.where(col("changed")).count()
-      labels = pinned.select("id", "cluster")
+      // label(label(v)) is one O(nodes) self-equi-join over the PINNED rows.
+      // Left join + coalesce keeps the row even if the plan ever sees a
+      // label without a node row.
+      val jumpTo = upd.select(col("id").as("jid"), col("cluster").as("jcluster"))
+      val jumped = upd.join(jumpTo, upd("cluster") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jcluster"), col("cluster")).as("cluster"))
+      // Convergence is detected from the NEIGHBOR step (one count on the
+      // materialized checkpoint blocks, no recompute): zero neighbor-min
+      // changes means labels are already constant on every component (labels
+      // are equal across every edge by symmetry), and then the jump is the
+      // identity — sound even though the jump itself is not probed.
+      val changed = upd.where(col("changed")).count()
+      labels = jumped.localCheckpoint()
       converged = changed == 0
       iter += 1
     }
