@@ -162,8 +162,14 @@ object Dedup {
     * (for round-efficiency assertions; the final no-change probe round is
     * counted). */
   def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // pin the CALLER'S pair plan before mirroring it: the union's two
+    // branches are different projections of `pairs`, so Spark executes the
+    // upstream plan once per branch (no exchange reuse) — and that plan is
+    // typically the entire LSH near-dup pipeline (measured: d_clusters spent
+    // ~half its time running LSH twice before this pin)
+    val pinnedPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = pinnedPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pinnedPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint() // edges are re-joined every round: pin once
     var labels = edges.select(col("src").as("id")).distinct()
