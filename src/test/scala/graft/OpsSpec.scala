@@ -218,6 +218,10 @@ class SimilaritySpec extends AnyFunSuite {
     val d = Seq((Seq(2L, 3L), Seq(5L, 7L))).toDF("a", "b")
       .select(ScaledIntDot(col("a"), col("b"))).head().getLong(0)
     assert(d === 31L)
+    // float-array input path (array<float> without a prior cast)
+    val f = Seq((1L, Seq(0.5f, -0.25f))).toDF("id", "v")
+      .select(ScaleVec(col("v"))).head().getSeq[Long](0)
+    assert(f === Seq(5000000L, -2500000L))
   }
 }
 
