@@ -396,6 +396,28 @@ object SparkEntry {
       spark.read.parquet(outDir).orderBy("hour_epoch", "event_type")
     }),
 
+    "e_stream_dedup" -> ((spark, dir) => {
+      // streaming EXACT DEDUP (the training-data ingest shape: drop repeat
+      // documents as they arrive): dropDuplicates holds one state row per
+      // key; emitted keys with AvailableNow over the staged file equal batch
+      // DISTINCT — the DuckDB oracle. At scale the state store is
+      // RocksDB-backed and the key is a content hash; here the key column
+      // stands in for it.
+      implicit val s: SparkSession = spark
+      val schema = t(dir, "events").schema
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-dedup-src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val q = spark.readStream.schema(schema).parquet(staged.toString)
+        .select(col("user_id"))
+        .dropDuplicates("user_id")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("e_stream_dedup_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table("e_stream_dedup_sink").orderBy("user_id")
+    }),
+
     "e_stream_state" -> ((spark, dir) => {
       // custom streaming STATE path: flatMapGroupsWithState accumulates
       // per-key (count, high-value count) across batches; with the single
@@ -564,6 +586,24 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs)
         .select(col("id").cast(LongType).as("id"), col("cluster").cast(LongType).as("cluster"))
         .orderBy("id")
+    }),
+
+    "d_keep_one" -> ((spark, dir) => {
+      // the full dedup COMPOSITION end-to-end: LSH near-dup pairs ->
+      // connected components -> keep the min-id representative per cluster;
+      // output = surviving doc ids. Oracle: the d_clusters recursive-CTE
+      // closure, dropping every id whose component min is not itself.
+      implicit val s: SparkSession = spark
+      val docs3 = t(dir, "documents").where(size(Dedup.words(col("text"))) >= 3)
+      val pairs = Dedup.nearDuplicates(docs3, "doc_id", "text",
+          numShingles = 3, bands = 16, rowsPerBand = 4, threshold = 0.7)
+        .select("id_a", "id_b")
+      val clusters = Dedup.duplicateClusters(pairs)
+      docs3.select(col("doc_id"))
+        .join(clusters, docs3("doc_id") === clusters("id"), "left")
+        .where(col("cluster").isNull || col("doc_id") === col("cluster"))
+        .select(col("doc_id").cast(LongType).as("doc_id"))
+        .orderBy("doc_id")
     }),
 
     "d_minhash_stats" -> ((spark, dir) => {
@@ -1071,6 +1111,10 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS hi_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // streaming dropDuplicates emits each key once = batch DISTINCT
+    "e_stream_dedup" ->
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
+
     "v_violations_sample" ->
       """WITH v AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'n_chars:maximum' AS rule_id,
@@ -1187,6 +1231,38 @@ object SparkEntry {
         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
         |SELECT CAST(id AS BIGINT) AS id, CAST(LEAST(id, min(r)) AS BIGINT) AS cluster
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // keep-one dedup: survivors = every >=3-word doc whose component min is
+    // itself (or that is in no near-dup component at all)
+    "d_keep_one" ->
+      """WITH RECURSIVE
+        |dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents) WHERE len(words) >= 3),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+        |      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |gs AS (SELECT DISTINCT doc_id, gram FROM g),
+        |sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY 1),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |      FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2),
+        |e0 AS (SELECT id_a, id_b
+        |       FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |       WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |          UNION SELECT id_b, id_a FROM e0),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+        |labels AS (SELECT id, LEAST(id, min(r)) AS cluster FROM reach GROUP BY id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM dw
+        |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+        |ORDER BY doc_id""".stripMargin,
 
     "v_token_freq" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
