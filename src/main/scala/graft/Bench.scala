@@ -164,12 +164,13 @@ object Bench {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val compiled = SuiteCompiler.compile(benchSuite)
     val df = spark.read.parquet(corpusPath)
-    val fVerdicts = Future {
+    import scala.concurrent.blocking
+    val fVerdicts = Future(blocking {
       compiled.verdicts(df, Seq("part")).collect().map(_.getAs[Long]("n_rows")).sum
-    }
-    val fDups = Future { graft.pipeline.TableChecks.duplicates(df, "doc_id").count() }
-    val fStats = Future { graft.pipeline.TableChecks.columnStats(df, Seq("n_tok", "source")).collect() }
-    val fHist = Future { graft.pipeline.TableChecks.histogram(df, "n_tok", 1, 129, 64).collect() }
+    })
+    val fDups = Future(blocking { graft.pipeline.TableChecks.duplicates(df, "doc_id").count() })
+    val fStats = Future(blocking { graft.pipeline.TableChecks.columnStats(df, Seq("n_tok", "source")).collect() })
+    val fHist = Future(blocking { graft.pipeline.TableChecks.histogram(df, "n_tok", 1, 129, 64).collect() })
     val rows = Await.result(fVerdicts, Duration.Inf)
     Await.result(fDups, Duration.Inf)
     Await.result(fStats, Duration.Inf)

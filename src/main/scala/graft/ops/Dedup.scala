@@ -166,12 +166,16 @@ object Dedup {
     // branches are different projections of `pairs`, so Spark executes the
     // upstream plan once per branch (no exchange reuse) — and that plan is
     // typically the entire LSH near-dup pipeline (measured: d_clusters spent
-    // ~half its time running LSH twice before this pin)
-    val pinnedPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // ~half its time running LSH twice before this pin). cache() rather than
+    // localCheckpoint: the pin is only needed until `edges` materializes,
+    // and a cache can be RELEASED afterwards (checkpoint blocks live for the
+    // session — lineage truncation is not needed for a one-shot consumer)
+    val pinnedPairs = pairs.select(col("id_a"), col("id_b")).cache()
     val edges = pinnedPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pinnedPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint() // edges are re-joined every round: pin once
+      .localCheckpoint() // eager: materializes edges (and fills+drains the cache)
+    pinnedPairs.unpersist(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var iter = 0

@@ -133,21 +133,32 @@ object ValidationPipeline {
       // executor counts; see Bench.validationJob for the measured effect).
       // The manifest checkpoint below still happens only after BOTH finish,
       // so resume semantics are unchanged.
-      val fVerdicts = Future { compiled.verdicts(slice, Seq("part")).collect() }
+      // blocking{}: both bodies block on Spark actions; without the marker
+      // ExecutionContext.global (parallelism = CPU count) could serialize
+      // them on a small driver or starve other users of the shared pool
+      val fVerdicts = Future(scala.concurrent.blocking {
+        compiled.verdicts(slice, Seq("part")).collect()
+      })
 
       // partitionBy(part) + DYNAMIC partition overwrite: a batch replayed
       // after a crash-before-checkpoint REPLACES its partitions' violations
       // instead of appending duplicates (exactly-once output per partition,
       // keyed by the same lineage the manifest records)
-      val fViolations = Future {
+      val fViolations = Future(scala.concurrent.blocking {
         compiled.violations(slice, keyCol, Seq("part"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("part")
           .parquet(s"$outDir/violations")
-      }
-      val verdictRows = Await.result(fVerdicts, Duration.Inf)
-      Await.result(fViolations, Duration.Inf)
+      })
+      // await BOTH before proceeding OR unwinding: if one future failed and
+      // the other were abandoned mid-flight, a resume retry of this batch
+      // could run concurrently with the orphaned write to the same
+      // partitions. Both Trys complete first; then failures rethrow.
+      val vTry = scala.util.Try(Await.result(fVerdicts, Duration.Inf))
+      val wTry = scala.util.Try(Await.result(fViolations, Duration.Inf))
+      wTry.get
+      val verdictRows = vTry.get
 
       val entries = verdictRows.map { r =>
         PartitionEntry(
