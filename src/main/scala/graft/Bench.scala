@@ -557,7 +557,10 @@ object Bench {
          |correction assumes work conservation: probe8/probe2 is a direct
          |clock measurement under load, independent of the job's own CPU
          |accounting. Per-pair samples (t, cpu, probe, both skews) are in
-         |BENCH/last.json for audit.
+         |BENCH/last.json for audit, and BENCH/RUNS.md records the
+         |cross-run campaign (the host varies hour to hour; eff_cpu is the
+         |stable estimator across runs, and a register-only probe cannot see
+         |shared-memory-bus contention — see RUNS.md for the interpretation).
          |
          || metric | local[2] (N) | local[8] (4N) | local[32] |
          ||---|---|---|---|
