@@ -364,6 +364,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "v_json_source" -> ((spark, dir) => {
+      // SOURCE-FORMAT coverage: the engine is format-agnostic — the same
+      // relational checks run over a JSONL staging of the events table (the
+      // common training-data ingest format; schema enforced explicitly, no
+      // inference pass at scale). Money as integer cents for cross-engine
+      // exactness; the oracle reads the original parquet, so the row must
+      // also prove the JSONL round-trip is lossless.
+      implicit val s: SparkSession = spark
+      val staged = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      t(dir, "events").select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(staged)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      spark.read.schema(schema).json(staged)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast(LongType)).cast(LongType).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     "q_events_hourly" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       t(dir, "events")
@@ -1113,6 +1134,13 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |EXCEPT SELECT o_custkey AS c_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
+
+    // oracle reads the ORIGINAL parquet — a green row proves the JSONL
+    // round-trip (shortest-decimal double serialization) is lossless
+    "v_json_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

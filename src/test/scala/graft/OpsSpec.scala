@@ -222,6 +222,28 @@ class SimilaritySpec extends AnyFunSuite {
     val f = Seq((1L, Seq(0.5f, -0.25f))).toDF("id", "v")
       .select(ScaleVec(col("v"))).head().getSeq[Long](0)
     assert(f === Seq(5000000L, -2500000L))
+    // null ELEMENTS pass through as null elements (HOF transform parity),
+    // and a null element then poisons ScaledIntDot to null
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null, 2.0))).toDF("id", "v")
+    val sv = withNull.select(ScaleVec(col("v"))).head().getSeq[java.lang.Long](0)
+    assert(sv(0) === 10000000L && sv(1) == null && sv(2) === 20000000L)
+    val poisoned = withNull
+      .select(ScaledIntDot(ScaleVec(col("v")), ScaleVec(col("v")))).head()
+    assert(poisoned.isNullAt(0))
+  }
+
+  test("prefixBits == planes edge: every bucket is its own partition (shift 0)") {
+    import org.apache.spark.sql.types._
+    val data = (0L until 100L).map(i =>
+      (i, (0 until 8).map(d => ((i * 37 + d * 13 + 11) % 19).toDouble / 19 - 0.5)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-annpfx-edge").toString
+    Similarity.buildIndexPrefixed(data, "vec_id", "embedding",
+      planes = 6, prefixBits = 6, idx)
+    val q = data.where(col("vec_id") === 2L).select(col("embedding")).head().getSeq[Double](0)
+    val got = Similarity.annTopKIndexedPrefixed(spark, idx, q, k = 3,
+      planes = 6, prefixBits = 6, probeBits = 1).collect()
+    assert(got.nonEmpty && got.head.getLong(0) === 2L)
   }
 }
 
