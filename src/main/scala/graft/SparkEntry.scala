@@ -385,6 +385,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "v_csv_source" -> ((spark, dir) => {
+      // CSV ingest with an EXPLICIT schema (no inference pass — at corpus
+      // scale inference is a second full read) + malformed-row policy
+      // FAILFAST: a corrupt delimiter surfaces loudly instead of nulling
+      // fields. Same lossless-round-trip proof shape as v_json_source.
+      implicit val s: SparkSession = spark
+      val staged = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      t(dir, "events").select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("header", "false").csv(staged)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      spark.read.schema(schema).option("mode", "FAILFAST").csv(staged)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast(LongType)).cast(LongType).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     "q_events_hourly" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       t(dir, "events")
@@ -1134,6 +1153,11 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |EXCEPT SELECT o_custkey AS c_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
+
+    "v_csv_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // oracle reads the ORIGINAL parquet — a green row proves the JSONL
     // round-trip (shortest-decimal double serialization) is lossless
