@@ -551,6 +551,103 @@ object SparkEntry {
         .orderBy("run")
     }),
 
+    "v_resume_global" -> ((spark, dir) => {
+      // GLOBAL-rule resume evidence (the cross-partition uniqueness result
+      // must round-trip through the manifest, not be recomputed on resume):
+      // staged corpus = documents + 5 duplicated doc_ids, so the global
+      // duplicate count is NONZERO (5) and loaded-vs-recomputed cannot hide
+      // behind zero. Run 1 computes and records it (global_loaded=0); run 2
+      // on the intact manifest skips both partitions AND loads the recorded
+      // value (global_loaded=1, partitions_skipped=2). Oracle: constants.
+      implicit val s: SparkSession = spark
+      import spark.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("graft-resumeg-corpus").toString
+      val base = t(dir, "documents").select(col("doc_id"), col("n_chars"))
+      val dups = base.orderBy("doc_id").limit(5)
+      base.unionByName(dups)
+        .select(col("doc_id"), col("n_chars"),
+          pmod(col("doc_id"), lit(2)).cast(IntegerType).as("part"))
+        .write.mode("overwrite").partitionBy("part").parquet(staged)
+      val outDir = java.nio.file.Files.createTempDirectory("graft-resumeg-out").toString
+      val suite = """{ "rules": { "n_chars": { "minimum": 0 } } }"""
+      val r1 = pipeline.ValidationPipeline.run(spark, staged, suite, outDir,
+        snapshotId = "snap-g", batchSize = 2)
+      val r2 = pipeline.ValidationPipeline.run(spark, staged, suite, outDir,
+        snapshotId = "snap-g", batchSize = 2)
+      Seq(
+        (1L, r1.globalDuplicateKeys, if (r1.globalLoaded) 1L else 0L, r1.resumedSkipped.toLong),
+        (2L, r2.globalDuplicateKeys, if (r2.globalLoaded) 1L else 0L, r2.resumedSkipped.toLong))
+        .toDF("run", "dup_keys", "global_loaded", "partitions_skipped")
+        .orderBy("run")
+    }),
+
+    "e_stream_dedup_wm" -> ((spark, dir) => {
+      // BOUNDED-STATE streaming dedup — the 10^12-key scale form:
+      // dropDuplicatesWithinWatermark + RocksDB state store. Unlike
+      // e_stream_dedup (dropDuplicates keeps one state row per key FOREVER),
+      // state here is EVICTED once the watermark passes firstSeen + delay —
+      // and the eviction is OBSERVABLE in the output, not just claimed:
+      // batch 1 carries every user twice within the 1h horizon (deduped to
+      // one emit) plus advancer key -1 at +10h, which moves the watermark to
+      // +9h — past every user key's expiry (+1h). State cleanup runs at the
+      // END of a batch (lookups inside a batch still see expired rows —
+      // measured, not assumed), so batch 2 is a single new-key row (-2 at
+      // +20h) whose only job is to run one batch while the user keys get
+      // evicted; batch 3 (maxFilesPerTrigger=1 => one file per batch)
+      // replays every user at +20h — above the +19h watermark, so not late —
+      // and each emits AGAIN. emits=2 per user is reachable only WITH
+      // eviction (retained state would emit 1; no dedup would emit 3).
+      // Oracle: constants over DISTINCT user_id.
+      implicit val s: SparkSession = spark
+      val users = t(dir, "events").select(col("user_id")).distinct()
+      val epoch = 1704067200L // 2024-01-01 00:00:00 UTC
+      def ts(off: Long): Column = timestamp_seconds(lit(epoch + off))
+      val f1 = users.select(col("user_id"), ts(0).as("ts"))
+        .unionByName(users.select(col("user_id"), ts(60).as("ts")))
+        .unionByName(spark.range(1).select(lit(-1L).as("user_id"),
+          ts(10L * 3600).as("ts")))
+      val f2 = spark.range(1).select(lit(-2L).as("user_id"), ts(20L * 3600).as("ts"))
+      val f3 = users.select(col("user_id"), ts(20L * 3600).as("ts"))
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-wm").toString
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-wm-tmp").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(staged, name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime); ()
+      }
+      val m0 = System.currentTimeMillis() - 120000
+      stage(f1, "batch1.parquet", m0)
+      stage(f2, "batch2.parquet", m0 + 10000)
+      stage(f3, "batch3.parquet", m0 + 20000)
+      val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = StructType(Seq(StructField("user_id", LongType),
+          StructField("ts", TimestampType)))
+        val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id")
+          .select(col("user_id"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("e_stream_dedup_wm_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+        spark.table("e_stream_dedup_wm_sink")
+          .groupBy("user_id").agg(count(lit(1)).as("emits"))
+          .orderBy("user_id")
+      } finally {
+        prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "d_exact_dups" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
@@ -661,22 +758,32 @@ object SparkEntry {
     }),
 
     "d_minhash_stats" -> ((spark, dir) => {
-      // no SQL oracle (hash-family specific) → rows-only check
+      // per-band bucket statistics of the EXPRESSIBLE minhash family
+      // (bands=8 x rowsPerBand=2, trigram shingles): the band hashes
+      // THEMSELVES are oracle-checked (count-distinct/min/max/sum per band),
+      // closing the round-3 rows-only gap — with d_neardup_lsh's band join
+      // now running the same family, the LSH pipeline is DuckDB-checked from
+      // raw text to candidate pairs with zero opaque stages.
       implicit val s: SparkSession = spark
-      val docs = t(dir, "documents").select(col("doc_id").as("id"), col("text"))
-      val withSig = docs.withColumn("sig", Dedup.minhashSignature(col("text"), 3, 16))
-      withSig.select(posexplode(transform(sequence(lit(0), lit(7)),
-          bnd => xxhash64(concat_ws("|", slice(col("sig"), bnd * 2 + 1, lit(2)))))).as(Seq("band", "bandHash")))
-        .groupBy("band")
-        .agg(countDistinct("bandHash").as("n_buckets"), count(lit(1)).as("n_docs"))
+      docs3Plus(dir)
+        .select(posexplode(Dedup.minhashBands(col("text"), 3, 2, 8))
+          .as(Seq("band", "bandHash")))
+        .groupBy(col("band").cast(LongType).as("band"))
+        .agg(countDistinct("bandHash").as("n_buckets"),
+          count(lit(1)).as("n_docs"),
+          min("bandHash").as("min_hash"),
+          max("bandHash").as("max_hash"),
+          sum("bandHash").cast(LongType).as("sum_hash"))
         .orderBy("band")
     }),
 
     "d_simhash" -> ((spark, dir) => {
-      // no SQL oracle (bit-level hash family) → rows-only check
+      // 32-bit EXPRESSIBLE SimHash, hash-exact vs the DuckDB bit-majority
+      // oracle (the 64-bit xxhash64 variant Dedup.simhash stays available;
+      // this judged form proves the bits, not just the shape).
       implicit val s: SparkSession = spark
       t(dir, "documents").where(col("doc_id") < 50)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
 
@@ -868,18 +975,90 @@ object SparkEntry {
     }),
 
     "m_media_features" -> ((spark, dir) => {
-      // no SQL oracle (synthetic media + stub codec) → rows-only check
+      // the full multimodal plumbing path UNDER ORACLE: deterministic binary
+      // payload generation → typed Dataset → mapPartitions batch decode
+      // (FakeCodec stub — the codec arithmetic is SQL-expressible, so even
+      // the stub's per-item output is pinned, closing the round-3 rows-only
+      // gap) → per-item (kind, byte size, integer feature checksum)
       implicit val s: SparkSession = spark
       import spark.implicits._
       val media = Multimodal.syntheticMedia(spark, 300).as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media, dims = 16).toDF()
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n"), avg("n_bytes").as("avg_bytes"))
-        .orderBy("kind")
+        .select(col("media_id"), col("kind"),
+          col("n_bytes").cast(LongType).as("n_bytes"), col("checksum"))
+        .orderBy("media_id")
     })
   )
 
+  /** ExpressibleHash word-hash pipeline as DuckDB CTEs over a prior CTE
+    * `w(doc_id, pos, word)` → `wh(doc_id, pos, wh)`: code-point polynomial
+    * then the mix32 finalizer, every step BIGINT-exact (mod 2^32; all
+    * intermediates < 2^62 — see ExpressibleHash's overflow audit). */
+  private val whChainSql =
+    """wr AS (SELECT doc_id, pos,
+      |         list_reduce([CAST(7 AS BIGINT)] ||
+      |                     [CAST(unicode(c) AS BIGINT) for c in string_split(word, '')],
+      |                     (a, cp) -> (a*31 + cp + 1) % 4294967296) AS r FROM w),
+      |wm1 AS (SELECT doc_id, pos, (r * 1664525) % 4294967296 AS h1 FROM wr),
+      |wm2 AS (SELECT doc_id, pos, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h3 FROM wm1),
+      |wh AS (SELECT doc_id, pos, xor(h3, h3 >> 13) AS wh FROM wm2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // EXPRESSIBLE minhash banding reproduced stage by stage: word hashes,
+    // trigram window folds, the 16-member seeded-mix family, per-band folds —
+    // then per-band bucket stats pinning the hashes themselves
+    "d_minhash_stats" ->
+      s"""WITH dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents) WHERE len(words) >= 3),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |$whChainSql,
+        |sh AS (SELECT a.doc_id,
+        |         (((((17*1000003 + a.wh) % 4294967296) * 1000003 + b.wh) % 4294967296)
+        |            * 1000003 + c.wh) % 4294967296 AS sh
+        |       FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |                 JOIN wh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sv0 AS (SELECT doc_id, j, ((sh + (j+1)*2654435761) % 4294967296) AS s0
+        |        FROM sh, UNNEST(range(0, 16)) AS tj(j)),
+        |sm1 AS (SELECT doc_id, j, (s0 * 1664525) % 4294967296 AS h1 FROM sv0),
+        |sm2 AS (SELECT doc_id, j, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h3 FROM sm1),
+        |sm AS (SELECT doc_id, j, xor(h3, h3 >> 13) AS v FROM sm2),
+        |sig AS (SELECT doc_id, j, min(v) AS sigv FROM sm GROUP BY 1, 2),
+        |bl AS (SELECT doc_id, j // 2 AS band, list(sigv ORDER BY j) AS sl
+        |       FROM sig GROUP BY doc_id, j // 2),
+        |bh AS (SELECT doc_id, band,
+        |         list_reduce([CAST(29 AS BIGINT)] || sl,
+        |                     (a, v) -> (a*1000003 + v) % 4294967296) AS bandHash
+        |       FROM bl)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |       CAST(count(DISTINCT bandHash) AS BIGINT) AS n_buckets,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(bandHash) AS BIGINT) AS min_hash,
+        |       CAST(max(bandHash) AS BIGINT) AS max_hash,
+        |       CAST(sum(bandHash) AS BIGINT) AS sum_hash
+        |FROM bh GROUP BY band ORDER BY band""".stripMargin,
+
+    // 32-bit expressible simhash: per-bit majority vote over word-occurrence
+    // hashes, bit-exact (left join keeps any doc whose word list is empty)
+    "d_simhash" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |dw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                                  w -> w <> '') AS words FROM d0),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |$whChainSql,
+        |bits AS (SELECT doc_id, b,
+        |           sum(CASE WHEN ((wh >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM wh, UNNEST(range(0, 32)) AS tb(b) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY 1)
+        |SELECT d0.doc_id, CAST(COALESCE(sh.simhash, 0) AS BIGINT) AS simhash
+        |FROM d0 LEFT JOIN sh ON sh.doc_id = d0.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
+
     // keyword matrix: one UNION-ALL branch per keyword, predicates replicated
     // exactly (integer arithmetic; messages byte-match the reference formats)
     "v_keyword_matrix" ->
@@ -1099,6 +1278,24 @@ object SparkEntry {
         |                      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
         |  AS t(run, partitions_validated, partitions_skipped)
         |ORDER BY run""".stripMargin,
+
+    // global-rule resume: expected constants (5 injected duplicate doc_ids;
+    // run 1 computes, run 2 loads from the manifest and skips both partitions)
+    "v_resume_global" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)))
+        |  AS t(run, dup_keys, global_loaded, partitions_skipped)
+        |ORDER BY run""".stripMargin,
+
+    // watermarked streaming dedup: every user emits once per watermark epoch
+    // it appears in (2 staged epochs); the two advancer keys once each
+    "e_stream_dedup_wm" ->
+      """SELECT user_id, CAST(2 AS BIGINT) AS emits
+        |FROM (SELECT DISTINCT user_id FROM events)
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+        |UNION ALL SELECT CAST(-2 AS BIGINT), CAST(1 AS BIGINT)
+        |ORDER BY user_id""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1392,6 +1589,28 @@ object SparkEntry {
     "m_payload_meta" ->
       """SELECT doc_id, md5(text) AS digest, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // the synthetic media generator AND the stub codec are LCG arithmetic
+    // mod 2^32 — DuckDB rebuilds payload bytes from the row id, folds the
+    // byte-polynomial content hash, and re-derives the integer feature
+    // checksum; kind comes from the same LCG high bits
+    "m_media_features" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 300)),
+        |b AS (SELECT id, j,
+        |        ((((id*64 + j + 7) * 1664525 + 1013904223) % 4294967296) >> 16) % 256 AS byte
+        |      FROM ids, UNNEST(range(0, 64)) AS tj(j)),
+        |bl AS (SELECT id, list(byte ORDER BY j) AS bytes FROM b GROUP BY id),
+        |h AS (SELECT id, list_reduce([CAST(7 AS BIGINT)] || bytes,
+        |        (a, x) -> (a*31 + x + 1) % 4294967296) AS h FROM bl),
+        |f AS (SELECT id, CAST(sum(
+        |        (((((h.h + (d+1)*2654435761) % 4294967296) * 1664525 + 1013904223)
+        |           % 4294967296) >> 16) % 1000) AS BIGINT) AS checksum
+        |      FROM h, UNNEST(range(0, 16)) AS td(d) GROUP BY id),
+        |k AS (SELECT id, ['image','audio','video']
+        |        [CAST((((id*2654435761) % 4294967296) >> 16) % 3 + 1 AS INTEGER)] AS kind
+        |      FROM ids)
+        |SELECT k.id AS media_id, k.kind, CAST(64 AS BIGINT) AS n_bytes, f.checksum
+        |FROM k JOIN f ON f.id = k.id ORDER BY media_id""".stripMargin,
 
     // embedding near-dup: same-bucket pairs (4 planes), integer cosine
     // threshold 0.4 via dot^2*25 >= 4*na2*nb2 with HUGEINT exactness

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,9 +22,12 @@ object Multimodal {
   /** Typed media row: payload + metadata travel together. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                             width: Int, height: Int, sample_rate: Int)
-  /** Decoded features: fixed-width vector per item (e.g. pooled embedding). */
+  /** Decoded features: fixed-width vector per item (e.g. pooled embedding)
+    * plus an exact-integer checksum of the pre-scaled feature values — the
+    * cross-engine invariant the m_media_features oracle pins (floats divide
+    * the same integers by 1000, so checking the checksum checks the vector). */
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-                                 features: Array[Float])
+                                 features: Array[Float], checksum: Long)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -35,34 +38,55 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = false)))
 
   /** ======== STUB ======== deterministic fake codec: derives a feature vector
-    * from payload bytes. Replace with a real decoder in production. */
+    * from payload bytes. Replace with a real decoder in production (no media
+    * libraries exist in this container). The arithmetic is deliberately
+    * SQL-EXPRESSIBLE — LCG steps mod 2^32 on BIGINT-safe values — so even the
+    * stub's output is pinned by a DuckDB oracle (m_media_features): payload →
+    * byte-polynomial hash → per-dim mixed integers in [0, 1000). */
   object FakeCodec {
-    def decode(payload: Array[Byte], dims: Int): Array[Float] = {
-      val out = new Array[Float](dims)
-      var h = 1125899906842597L
+    private final val M = 4294967296L // 2^32
+
+    /** Byte-polynomial content hash: h := (h*31 + byte + 1) mod 2^32, h0=7. */
+    def contentHash(payload: Array[Byte]): Long = {
+      var h = 7L
       var i = 0
-      while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
-      var d = 0
-      while (d < dims) {
-        h ^= h << 13; h ^= h >>> 7; h ^= h << 17 // xorshift
-        out(d) = ((h % 1000L) / 1000.0f)
-        d += 1
-      }
-      out
+      while (i < payload.length) { h = (h * 31L + (payload(i) & 0xff) + 1L) % M; i += 1 }
+      h
     }
+
+    /** Pre-scale integer features in [0, 1000). */
+    def decodeInts(payload: Array[Byte], dims: Int): Array[Int] = {
+      val h = contentHash(payload)
+      Array.tabulate(dims) { d =>
+        (((((h + (d + 1).toLong * 2654435761L) % M) * 1664525L + 1013904223L) % M >>> 16) % 1000L).toInt
+      }
+    }
+
+    def decode(payload: Array[Byte], dims: Int): Array[Float] =
+      decodeInts(payload, dims).map(_ / 1000.0f)
   }
 
-  /** Synthesize a deterministic media table (payload = bytes of a seeded hash
-    * stream) — the fixture generator for the multimodal plumbing tests. */
+  /** Synthesize a deterministic media table — the fixture generator for the
+    * multimodal plumbing tests. Every derived value (kind, payload bytes,
+    * width, height) is an LCG step mod 2^32 over the row id using only
+    * {*, +, %, >>} on BIGINT-safe values, so the WHOLE table is reproducible
+    * in DuckDB SQL and the m_media_features gate row checks generator +
+    * batching + codec end to end (round-3 verdict item 5). */
   def syntheticMedia(spark: SparkSession, rows: Long, partitions: Int = 8): DataFrame = {
+    val M = 4294967296L
     val kinds = array(lit("image"), lit("audio"), lit("video"))
+    def lcg(c: Column): Column = (c % M) // values below are already < 2^62 pre-mod
+    val id = col("id")
+    val kindIdx = (shiftright(lcg(id * 2654435761L), 16) % 3).cast(IntegerType)
+    val payloadHex = concat((0 until 64).map { j =>
+      lpad(hex(shiftright(lcg((id * 64L + (j + 7).toLong) * 1664525L + 1013904223L), 16) % 256), 2, "0")
+    }: _*)
     spark.range(0, rows, 1, partitions).select(
-      col("id").as("media_id"),
-      element_at(kinds, (pmod(xxhash64(col("id")), lit(3)) + 1).cast(IntegerType)).as("kind"),
-      // payload: deterministic pseudo-bytes via hex of chained hashes
-      unhex(concat((0 until 8).map(s => lpad(hex(abs(xxhash64(col("id"), lit(s)))), 16, "0")): _*)).as("payload"),
-      (pmod(xxhash64(col("id"), lit("w")), lit(1920)) + 1).cast(IntegerType).as("width"),
-      (pmod(xxhash64(col("id"), lit("h")), lit(1080)) + 1).cast(IntegerType).as("height"),
+      id.as("media_id"),
+      element_at(kinds, kindIdx + 1).as("kind"),
+      unhex(payloadHex).as("payload"),
+      (shiftright(lcg(id * 22695477L + 1L), 16) % 1920 + 1).cast(IntegerType).as("width"),
+      (shiftright(lcg(id * 1103515245L + 12345L), 16) % 1080 + 1).cast(IntegerType).as("height"),
       lit(16000).as("sample_rate"))
   }
 
@@ -74,8 +98,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       // real pipeline: initialize decoder/model ONCE per partition here
       rows.map { r =>
+        val ints = FakeCodec.decodeInts(r.payload, dims)
         MediaFeatures(r.media_id, r.kind, r.payload.length,
-          FakeCodec.decode(r.payload, dims))
+          ints.map(_ / 1000.0f), ints.map(_.toLong).sum)
       }
     }
   }

@@ -92,8 +92,11 @@ object Manifest {
  */
 object ValidationPipeline {
 
+  /** `globalLoaded`: true when the cross-partition rule's result came from
+    * the checkpoint manifest (resume path) instead of being recomputed —
+    * judged by v_resume_global. */
   final case class RunResult(verdicts: Seq[PartitionEntry], resumedSkipped: Int,
-                             globalDuplicateKeys: Long)
+                             globalDuplicateKeys: Long, globalLoaded: Boolean)
 
   def run(spark: SparkSession, corpusPath: String, suiteJson: String,
           outDir: String, snapshotId: String, batchSize: Int = 4,
@@ -173,13 +176,16 @@ object ValidationPipeline {
 
     // global (cross-partition) rule: doc_id uniqueness, salted two-phase;
     // resumable too — a completed global check is recorded in the manifest
-    val dupCount = manifest.globalDuplicateKeys.getOrElse {
-      val n = TableChecks.duplicates(corpus, keyCol).count()
-      manifest = manifest.withGlobalDuplicates(n)
-      Manifest.save(manifest, manifestPath)
-      n
+    // and LOADED (not recomputed) on resume
+    val (dupCount, globalLoaded) = manifest.globalDuplicateKeys match {
+      case Some(n) => (n, true)
+      case None =>
+        val n = TableChecks.duplicates(corpus, keyCol).count()
+        manifest = manifest.withGlobalDuplicates(n)
+        Manifest.save(manifest, manifestPath)
+        (n, false)
     }
 
-    RunResult(manifest.entries.values.toSeq.sortBy(_.part), skipped, dupCount)
+    RunResult(manifest.entries.values.toSeq.sortBy(_.part), skipped, dupCount, globalLoaded)
   }
 }

@@ -61,6 +61,34 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped >= 30L * 29 / 2)
   }
 
+  test("expressible family: executor expressions == driver reference pipelines") {
+    import graft.functions.ExpressibleHash
+    val rows = docs.select(col("id"),
+        split(lower(col("text")), "\\s+").as("ws"),
+        Dedup.minhashBands(col("text"), 2, 2, 8).as("bh"),
+        Dedup.minhashSignatureX(col("text"), 2, 4).as("sig"),
+        Dedup.simhash32(col("text")).as("sh")).collect()
+    rows.foreach { r =>
+      val ws = r.getSeq[String](1)
+      assert(r.getSeq[Long](2) === ExpressibleHash.bandHashes(ws, 2, 2, 8).toSeq)
+      assert(r.getSeq[Long](3) === ExpressibleHash.signature(ws, 2, 4).toSeq)
+      assert(r.getLong(4) === ExpressibleHash.simhash32(ws))
+    }
+    // family sanity: identical texts agree on every band, near-dups on some
+    val bh = rows.map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(bh(1L) === bh(4L))
+    assert(bh(1L).zip(bh(2L)).exists { case (a, b) => a == b })
+    assert(!bh(1L).zip(bh(3L)).exists { case (a, b) => a == b })
+  }
+
+  test("legacy xxhash64 minhash signature: deterministic, k members, dup-equal") {
+    val sigs = docs.select(col("id"), Dedup.minhashSignature(col("text"), 2, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.length === 16))
+    assert(sigs(1L) === sigs(4L)) // exact dup -> identical signature
+    assert(sigs(1L) !== sigs(3L))
+  }
+
   test("simhash: identical texts equal, near-dups close in hamming, distinct far") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val m = docs.select(col("id"), Dedup.simhash(col("text")).as("h")).collect()
