@@ -209,12 +209,19 @@ object Bench {
     // the stdout contract line) — built from the same in-scope values, never
     // re-parsed out of the formatted string
     val (scalingJson, shortScalingJson) = if (skipScaling) ("", "") else try {
-      val corpusPath = s"/dev/shm/graft-bench-corpus-$benchRows"
+      val corpusCfg = CorpusGen.Config(rows = benchRows, maxTok = 128,
+        numPartitions = 8, badSourceEvery = 1000, badTokenEvery = 997)
+      // cache key = FULL generator config digest (+ a generator version),
+      // not just the row count — a changed config with unchanged rows must
+      // never silently reuse a stale /dev/shm corpus (round-3 verdict #7)
+      val cfgDigest = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"$corpusCfg|gen-v1".getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+      }
+      val corpusPath = s"/dev/shm/graft-bench-corpus-$benchRows-$cfgDigest"
       if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
-        CorpusGen.writePartitioned(
-          CorpusGen.generate(spark, CorpusGen.Config(rows = benchRows, maxTok = 128,
-            numPartitions = 8, badSourceEvery = 1000, badTokenEvery = 997)),
-          corpusPath)
+        CorpusGen.writePartitioned(CorpusGen.generate(spark, corpusCfg), corpusPath)
       }
       spark.stop()
 
@@ -278,9 +285,13 @@ object Bench {
         // back to the cpu estimator (probeSkew).
         val probeSec =
           if (probeNs.get > 0 && probeEndNs.get <= jobEndNs) probeNs.get / 1e9 else -1.0
-        // deduct the probe task's own time from the job's metrics (it is
-        // single-threaded and cpu-bound, so cpu ~= elapsed)
-        val probeAdj = if (probeSec > 0) probeSec else 0.0
+        // deduct the probe task's own time from the job's metrics WHENEVER
+        // the probe task completed — even when its window is invalid for
+        // clock correction (finished after job end): MetricsListener captured
+        // its CPU either way, and skipping the deduction would inflate
+        // cpuSec/occ for exactly the pairs that fall back to the cpu
+        // estimator (round-3 advice)
+        val probeAdj = if (probeNs.get > 0) probeNs.get / 1e9 else 0.0
         val cpuSec = math.max((cpu1 - cpu0) / 1e9 - probeAdj, 0.001)
         Run(t, rows, cpuSec, cpuSec / (t * n), probeSec)
       }
@@ -293,13 +304,47 @@ object Bench {
         clockProbeSec(s); clockProbeSec(s)
         s.stop()
       }
-      val pairs = (1 to 3).map { i =>
-        if (i > 1) Thread.sleep(30000) // cool-down between pairs
+      // REJECT, don't clamp, pathological pairs (round-3 verdict #3: a pair
+      // whose 2-core probe was descheduled published a junk 0.326 band
+      // bound): a pair is invalid when its RAW probe skew falls outside
+      // [0.7, 1.4] — far beyond any clock-governor ratio seen across the
+      // campaign (RUNS.md: 0.85-1.15) — or when probe and cpu skew disagree
+      // by more than 2x (one of the two measurements is lying). Invalid
+      // pairs are discarded and replaced (bounded: at most 5 attempts for
+      // 3 pairs); if the host is so noisy that <3 pairs survive, the
+      // survivors are used and the rejection count is published.
+      def pairValid(a: Run, b: Run): Boolean =
+        if (a.probe > 0 && b.probe > 0) {
+          val ps = b.probe / a.probe
+          val cpuOk = a.cpu <= 0 || b.cpu <= 0 || {
+            val ratio = ps / (b.cpu / a.cpu)
+            ratio >= 0.5 && ratio <= 2.0
+          }
+          ps >= 0.7 && ps <= 1.4 && cpuOk
+        } else true // no probe window: the pair falls back to cpu skew — keep
+      val pairBuf = scala.collection.mutable.ArrayBuffer.empty[(Run, Run, Double)]
+      var pairsRejected = 0
+      var attempts = 0
+      while (pairBuf.size < 3 && attempts < 5) {
+        if (attempts > 0) Thread.sleep(30000) // cool-down between pairs
         val a = once(2, warms = 0, probeDelayMs = 15000)
         val b = once(8, warms = 0, probeDelayMs = 5000)
         require(a.rows == b.rows)
-        (a, b, (a.t / b.t) / 4.0)
+        attempts += 1
+        if (pairValid(a, b)) pairBuf += ((a, b, (a.t / b.t) / 4.0))
+        else {
+          pairsRejected += 1
+          System.err.println(f"[bench] pair rejected (probe2=${a.probe}%.2f " +
+            f"probe8=${b.probe}%.2f cpu2=${a.cpu}%.1f cpu8=${b.cpu}%.1f)")
+        }
       }
+      // degraded-host fallback: never publish an empty pair set
+      if (pairBuf.isEmpty) {
+        val a = once(2, warms = 0, probeDelayMs = 15000)
+        val b = once(8, warms = 0, probeDelayMs = 5000)
+        pairBuf += ((a, b, (a.t / b.t) / 4.0))
+      }
+      val pairs = pairBuf.toSeq
       // THREE efficiency estimators per pair, least to most corrected:
       //   eff_wall  = (t2/t8)/4                      — raw wall ratio; under-
       //               states the engine when the loaded 8-core side throttles
@@ -336,18 +381,39 @@ object Bench {
       val pairsJson = pairs.map { case p @ (a, b, e) =>
         f"""{"t2":${a.t}%.3f,"t8":${b.t}%.3f,"eff_wall":$e%.3f,"eff_cpu_corrected":${effCpuOf(p)}%.3f,"eff_probe_corrected":${effProbeOf(p)}%.3f,"probe2_sec":${a.probe}%.3f,"probe8_sec":${b.probe}%.3f,"clock_skew_probe":${probeSkew(p)}%.3f,"cpu2":${a.cpu}%.1f,"cpu8":${b.cpu}%.1f,"occ2":${a.occ}%.2f,"occ8":${b.occ}%.2f,"clock_skew_cpu8_over_cpu2":${cpuSkew(p)}%.3f}"""
       }.mkString("[", ",", "]")
-      // informational 8->32 number: median-of-3. Probe correction is NOT
-      // valid here (32 job threads + the probe oversubscribe the 32-vCPU
-      // host, so the probe's elapsed time includes preemption, not just
-      // clock) — the cpu-corrected value is reported for this pair only.
+      // informational 8->32 number: median-of-3, ALL samples published.
+      // Probe correction is NOT valid here (32 job threads + the probe
+      // oversubscribe the 32-vCPU host, so the probe's elapsed time includes
+      // preemption, not just clock) — and when the wall ordering INVERTS
+      // (local[32] no faster than local[8]) no corrected number is published
+      // at all: at full occupancy the cpu-ratio correction is equally
+      // unverifiable, and round 3 shipped an artifact that papered over an
+      // inversion with one. The inversion is reported as host saturation.
       val runs32 = (1 to 3).map { i =>
         val r = once(32, warms = if (i == 1) 1 else 0, probeDelayMs = 3000)
         require(r.rows == benchRows)
         r
       }
-      val t32 = median(runs32.map(_.t))
+      val t32Samples = runs32.map(_.t)
+      val t32 = median(t32Samples)
       val cpu32 = median(runs32.map(_.cpu))
-      val eff832 = (t8 / t32) / 4.0 * (if (cpu8 > 0) cpu32 / cpu8 else 1.0)
+      val eff832Wall = (t8 / t32) / 4.0
+      val hostSaturated832 = t32 >= t8
+      val eff832CpuOpt =
+        if (hostSaturated832) None
+        else Some(eff832Wall * (if (cpu8 > 0) cpu32 / cpu8 else 1.0))
+      val eff832Md = eff832CpuOpt match {
+        case Some(e) =>
+          f"8 -> 32 cores: wall $eff832Wall%.3f, cpu-corrected $e%.3f (approximate: " +
+            "at 32 of 32 vCPUs the probe is preempted, so only the wall number is direct)"
+        case None =>
+          f"8 -> 32 cores: wall $eff832Wall%.3f — local[32] ran no faster than local[8] " +
+            f"in this window (t_32 samples ${t32Samples.map(t => f"$t%.1f").mkString("/")} s " +
+            f"vs t_8 $t8%.1f s). That is single-box memory-bandwidth/clock saturation at " +
+            "full vCPU occupancy, not an engine property (each cluster executor brings its " +
+            "own memory bus); no corrected efficiency is published because both probe and " +
+            "cpu corrections are unverifiable at 32/32 vCPUs"
+      }
       // ANN selectivity evidence at realistic plane count: planes=16 over a
       // 400k-vector deterministic synthetic table, PREFIX-partitioned index
       // (256 dirs — flat partitionBy(bucket) at planes=16 would be a 65k-dir
@@ -428,7 +494,7 @@ object Bench {
           Some((d2, d8, d32, (d2 / d8) / 4.0, c32))
         }
       writeBaselineMd(benchRows, t2, t8, t32, rows8, effProbe, effCpu, effWall,
-        effLo, effHi, eff832, scalar, scalarPre, ann16, cpu2, cpu8, occ2, occ8)
+        effLo, effHi, eff832Md, scalar, scalarPre, ann16, cpu2, cpu8, occ2, occ8)
       val scalarJson = scalar.map { case (d2, d8, d32, dEff, c32) =>
         val preT = scalarPre._1; val preCpu = scalarPre._2
         f""","scalar_json_path":{"docs":$DynDocs,"t_2_sec":$d2%.3f,"t_8_sec":$d8%.3f,"t_32_sec":$d32%.3f,"docs_per_sec_32":${(DynDocs / d32).toLong},"docs_per_sec_32_pre":${(DynDocs / preT).toLong},"t_32_sec_pre":$preT%.3f,"docs_per_cpu_sec_pre":${(DynDocs / preCpu).toLong},"docs_per_cpu_sec_post":${(DynDocs / c32).toLong},"efficiency_2_8":$dEff%.3f}"""
@@ -437,8 +503,12 @@ object Bench {
       val ann16Json = ann16.map { case (tb, tl, tf, rt, rr, rc, pp, bp) =>
         f""","ann_planes16":{"build_sec":$tb%.3f,"lookup_sec":$tl%.3f,"fullscan_sec":$tf%.3f,"rows_total":$rt,"rows_read":$rr,"rows_read_fraction":${rr.toDouble / math.max(rt, 1)}%.5f,"rows_candidates":$rc,"rows_candidate_fraction":${rc.toDouble / math.max(rt, 1)}%.6f,"partitions_probed":$pp,"partitions_total":256,"buckets_probed":$bp}"""
       }.getOrElse("")
+      val eff832CpuJson =
+        eff832CpuOpt.map(e => f""","efficiency_cpu_corrected":$e%.3f""").getOrElse("")
+      val scaling832Json =
+        f""""scaling_8_32":{"t_8_sec":$t8%.3f,"t_32_sec":$t32%.3f,"t_32_samples":[${t32Samples.map(t => f"$t%.3f").mkString(",")}],"efficiency_wall":$eff832Wall%.3f$eff832CpuJson%s,"host_saturated":$hostSaturated832,"note":"wall is the only direct 8->32 number; probe/cpu corrections are unverifiable at 32 of 32 vCPUs, so none is published when the wall ordering inverts"}"""
       val full =
-        f""","scaling":{"rows":$rows8,"n_cores":2,"n4_cores":8,"t_n_sec":$t2%.3f,"t_n4_sec":$t8%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong},"efficiency":$effProbe%.3f,"efficiency_probe_corrected":$effProbe%.3f,"efficiency_cpu_corrected":$effCpu%.3f,"efficiency_wall":$effWall%.3f,"efficiency_band":[$effLo%.3f,$effHi%.3f],"runs":"median of interleaved pair ratios; headline = probe-corrected (t2/t8)/4 x (probe8/probe2) with a mid-run fixed-work clock probe; cpu- and wall- variants reported alongside","cpu_sec_n":$cpu2%.1f,"cpu_sec_n4":$cpu8%.1f,"cpu_utilization_n":$occ2%.2f,"cpu_utilization_n4":$occ8%.2f,"pairs":$pairsJson},"scaling_8_32":{"t_8_sec":$t8%.3f,"t_32_sec":$t32%.3f,"efficiency_cpu_corrected":$eff832%.3f}""" + scalarJson + ann16Json
+        f""","scaling":{"rows":$rows8,"n_cores":2,"n4_cores":8,"t_n_sec":$t2%.3f,"t_n4_sec":$t8%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong},"efficiency":$effProbe%.3f,"efficiency_probe_corrected":$effProbe%.3f,"efficiency_cpu_corrected":$effCpu%.3f,"efficiency_wall":$effWall%.3f,"efficiency_band":[$effLo%.3f,$effHi%.3f],"pairs_rejected":$pairsRejected,"runs":"median of interleaved pair ratios; headline = probe-corrected (t2/t8)/4 x (probe8/probe2) with a mid-run fixed-work clock probe; cpu- and wall- variants reported alongside; pairs with probe skew outside [0.7,1.4] or probe/cpu disagreement >2x are rejected and re-run","cpu_sec_n":$cpu2%.1f,"cpu_sec_n4":$cpu8%.1f,"cpu_utilization_n":$occ2%.2f,"cpu_utilization_n4":$occ8%.2f,"pairs":$pairsJson},""" + scaling832Json + scalarJson + ann16Json
       val short =
         f""","scaling":{"efficiency":$effProbe%.3f,"efficiency_probe_corrected":$effProbe%.3f,"efficiency_cpu_corrected":$effCpu%.3f,"efficiency_wall":$effWall%.3f,"seqs_per_sec_n":${(rows2 / t2).toLong},"seqs_per_sec_n4":${(rows8 / t8).toLong}}"""
       (full, short)
@@ -466,7 +536,7 @@ object Bench {
   private def writeBaselineMd(rows: Long, t2: Double, t8: Double, t32: Double,
                               nRows: Long, effProbe: Double, effCpu: Double,
                               effWall: Double, effLo: Double, effHi: Double,
-                              eff832: Double,
+                              eff832Md: String,
                               scalar: Option[(Double, Double, Double, Double, Double)],
                               scalarPre: (Double, Double),
                               ann16: Option[(Double, Double, Double, Long, Long, Long, Int, Int)],
@@ -569,9 +639,10 @@ object Bench {
          |
          |**Scaling efficiency N -> 4N (2 -> 8 cores), probe-corrected median:
          |$effProbe%.3f** (band $effLo%.3f - $effHi%.3f; cpu-corrected $effCpu%.3f;
-         |raw wall $effWall%.3f; 8 -> 32 cores cpu-corrected: $eff832%.3f —
-         |probe correction is invalid at 32 of 32 vCPUs, where the probe
-         |itself is preempted).
+         |raw wall $effWall%.3f). Pairs whose probe skew falls outside
+         |[0.7, 1.4] or whose probe and cpu skews disagree by more than 2x
+         |are REJECTED and re-measured (bounded retries), never clamped into
+         |the band. $eff832Md%s.
          |
          |Task-metrics medians: total executor CPU $cpu2%.1f s at 2 cores vs
          |$cpu8%.1f s at 8 cores; CPU utilization (cpu / (wall x cores))

@@ -461,12 +461,12 @@ object SparkEntry {
     }),
 
     "e_stream_dedup" -> ((spark, dir) => {
-      // streaming EXACT DEDUP (the training-data ingest shape: drop repeat
-      // documents as they arrive): dropDuplicates holds one state row per
-      // key; emitted keys with AvailableNow over the staged file equal batch
-      // DISTINCT — the DuckDB oracle. At scale the state store is
-      // RocksDB-backed and the key is a content hash; here the key column
-      // stands in for it.
+      // streaming EXACT DEDUP, UNBOUNDED-state parity form: dropDuplicates
+      // holds one state row per key FOREVER; emitted keys with AvailableNow
+      // over the staged file equal batch DISTINCT — the DuckDB oracle. This
+      // row exists as the batch/stream parity test; the SCALE form (state
+      // evicted at the watermark, RocksDB store — the only shape that
+      // survives 10^12 keys) is e_stream_dedup_wm below.
       implicit val s: SparkSession = spark
       val schema = t(dir, "events").schema
       val q = spark.readStream.schema(schema).parquet(stageEvents(dir))
@@ -709,10 +709,15 @@ object SparkEntry {
       val real = t(dir, "documents").select(col("doc_id"), col("text"))
       // boiler ids derived from the REAL max id (+ a gap), never hardcoded —
       // a fixed base would collide if the corpus ever grows past it. The
-      // equality with the real-docs-only oracle additionally assumes no REAL
-      // band bucket reaches the cap (40 near-identical docs agreeing on a
-      // full 4-hash minhash band); the green gate row itself pins that for
-      // the shipped corpora, and a violation fails LOUDLY as a hash mismatch.
+      // equality with the real-docs-only oracle assumes TWO corpus
+      // properties: (a) no REAL band bucket reaches the cap (40
+      // near-identical docs agreeing on a full 4-hash minhash band), and
+      // (b) no real doc's band hash COLLIDES INTO a boiler bucket — such a
+      // collision would drop real-real candidate pairs discoverable only
+      // via that band (the bucket is over cap, so ALL its rows go). Both
+      // are pinned by the green gate row itself for the shipped corpora —
+      // a violation of either fails LOUDLY as a hash mismatch, never as a
+      // silently-weaker result.
       val base = real.agg(max("doc_id")).head().getLong(0) + 1000000L
       val boiler = spark.range(40).select(
         (col("id") + lit(base)).as("doc_id"),

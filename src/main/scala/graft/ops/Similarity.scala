@@ -18,13 +18,35 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Dot product of two float-array columns via zip_with + aggregate. */
+  /** Dot product of two float-array columns via zip_with + aggregate.
+    * INTERPRETED (CodegenFallback HOFs) — kept only as the cross-check
+    * baseline for the codegen'd ScaledIntDot paths; never in a scale path. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd scaled-integer cosine of the corpus column `vecCol` against a
+    * literal query: shared by the brute-force and scan-time ANN baselines so
+    * neither carries an interpreted lambda in its hot projection. Two-step
+    * select: `__sv` is computed once, then dot and self-dot reuse it (WSCG
+    * subexpression elimination keeps it single-evaluation). */
+  private def scaledCosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                               query: Seq[Double], k: Int): DataFrame = {
+    import graft.functions.{ScaledIntDot, ScaleVec, SignBucket}
+    val qScaled = query.map(SignBucket.scaleComponent)
+    val qNorm = math.sqrt(qScaled.map(x => x.toDouble * x).sum)
+    val qlit = array(qScaled.map(lit(_)): _*)
+    df.select(col(idCol), ScaleVec(col(vecCol).cast(ArrayType(DoubleType))).as("__sv"))
+      .select(col(idCol),
+        (ScaledIntDot(col("__sv"), qlit).cast(DoubleType) /
+          (sqrt(ScaledIntDot(col("__sv"), col("__sv")).cast(DoubleType)) * lit(qNorm)))
+          .as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
 
   /** LSH sign bucket: one bit per hyperplane = sign of <scaled(vec), plane>.
     * Codegen'd custom expression, exact-integer arithmetic (plane weights and
@@ -56,29 +78,25 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Brute-force cosine top-k against a literal query vector. */
+  /** Brute-force cosine top-k against a literal query vector — codegen'd
+    * ScaleVec/ScaledIntDot end to end (no lambdafunction in the executed
+    * plan; PlanAuditSpec asserts it). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-                     query: Seq[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
-    df.select(col(idCol),
-        cosine(col(vecCol).cast(ArrayType(DoubleType)), q).as("cosine"))
-      .orderBy(desc("cosine"), col(idCol))
-      .limit(k)
-  }
+                     query: Seq[Float], k: Int): DataFrame =
+    scaledCosineTopK(df, idCol, vecCol, query.map(_.toDouble), k)
 
   /** IVF-style ANN without a persisted index: scan-time bucket filter, then
     * exact cosine + top-k within the pruned set. One full pass per query —
-    * use [[buildIndex]] + [[annTopKIndexed]] for repeated lookups at scale. */
+    * use [[buildIndex]] + [[annTopKIndexed]] for repeated lookups at scale.
+    * Bucket + cosine are both codegen'd (SignBucket, ScaledIntDot). */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, planes: Int = 6): DataFrame = {
     val qd = query.map(_.toDouble)
-    val q = array(qd.map(lit(_)): _*)
     val qBucket = graft.functions.SignBucket.compute(qd.toArray, planes)
-    df.withColumn("__bucket", signBucket(col(vecCol).cast(ArrayType(DoubleType)), planes))
+    val pruned = df
+      .withColumn("__bucket", signBucket(col(vecCol).cast(ArrayType(DoubleType)), planes))
       .where(col("__bucket") === qBucket)
-      .select(col(idCol), cosine(col(vecCol).cast(ArrayType(DoubleType)), q).as("cosine"))
-      .orderBy(desc("cosine"), col(idCol))
-      .limit(k)
+    scaledCosineTopK(pruned, idCol, vecCol, qd, k)
   }
 
   /**
@@ -149,6 +167,10 @@ object Similarity {
                              planes: Int, prefixBits: Int,
                              probeBits: Int): DataFrame = {
     import graft.functions.{ScaledIntDot, SignBucket}
+    // mirror the builder's invariant: a mismatched prefixBits would make
+    // `shift` negative and Long >>> negative shifts by (shift & 63) —
+    // silently probing the WRONG partitions instead of failing loudly
+    require(prefixBits > 0 && prefixBits <= planes, "need 0 < prefixBits <= planes")
     val shift = planes - prefixBits
     val qBucket = SignBucket.compute(query.toArray, planes)
     val buckets = SignBucket.probeBuckets(qBucket, planes, probeBits)

@@ -130,6 +130,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(gotIds === want)
   }
 
+  test("similarity baselines (bruteForceTopK, annTopK) are HOF-free too") {
+    import spark.implicits._
+    val data = (0L until 50L).map(i =>
+      (i, (0 until 8).map(d => ((i * 31 + d * 7 + 3) % 17).toFloat / 17 - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = (0 until 8).map(d => ((d * 7 + 3) % 17).toFloat / 17 - 0.5f)
+    for ((name, df) <- Seq(
+        "bruteForceTopK" -> graft.ops.Similarity.bruteForceTopK(data, "vec_id", "embedding", q, 3),
+        "annTopK" -> graft.ops.Similarity.annTopK(data, "vec_id", "embedding", q, 3, planes = 2))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction"), s"$name plan has a HOF: ${plan.take(2000)}")
+    }
+  }
+
+  test("property: prefixed and flat ANN indexes agree on top-k across plane/prefix combos") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val n = 1500
+    val data = (0L until n.toLong).map(i =>
+      (i, Seq.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    for ((planes, prefixBits) <- Seq((8, 3), (10, 6), (13, 8))) {
+      val flat = java.nio.file.Files.createTempDirectory(s"graft-annprop-f$planes").toString
+      val pfx = java.nio.file.Files.createTempDirectory(s"graft-annprop-p$planes").toString
+      graft.ops.Similarity.buildIndex(data, "vec_id", "embedding", planes, flat)
+      graft.ops.Similarity.buildIndexPrefixed(data, "vec_id", "embedding", planes, prefixBits, pfx)
+      for (qid <- Seq(3L, 500L, 1499L)) {
+        val q = data.where(col("vec_id") === qid)
+          .select(col("embedding")).head().getSeq[Double](0)
+        val a = graft.ops.Similarity.annTopKIndexed(spark, flat, q, k = 5,
+          planes, probeBits = 1).collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val b = graft.ops.Similarity.annTopKIndexedPrefixed(spark, pfx, q, k = 5,
+          planes, prefixBits, probeBits = 1).collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(a.toSeq === b.toSeq, s"planes=$planes prefixBits=$prefixBits qid=$qid")
+      }
+    }
+    // lookup mirrors the builder's invariant instead of silently mis-shifting
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.annTopKIndexedPrefixed(spark.emptyDataFrame,
+        Seq(0.1, 0.2), k = 1, planes = 8, prefixBits = 9, probeBits = 1)
+    }
+  }
+
   test("verdict aggregation is a partial+final hash aggregate (map-side combine)") {
     val compiled = graft.rules.SuiteCompiler.compile(SparkEntry.documentsSuite)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
