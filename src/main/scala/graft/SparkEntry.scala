@@ -91,6 +91,22 @@ object SparkEntry {
       path
     })
 
+  /** IVF (k-means cell) ANN index memoized per process: exact-integer Lloyd
+    * training (k=8 cells, 2 iterations — the corpus is tiny; at scale k is
+    * ~sqrt(corpus) and training runs on a hash-sample) + write-once
+    * partitionBy(cell) index. Same staleness rationale as [[annIndexes]]. */
+  private val ivfIndexes = new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Long]], String)]()
+  private def ivfIndex(spark: SparkSession, dir: String): (Array[Array[Long]], String) =
+    ivfIndexes.computeIfAbsent(dir, { _ =>
+      implicit val s: SparkSession = spark
+      val emb = t(dir, "embeddings")
+      val centroids = ops.Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index-").toString
+      ops.Similarity.buildIndexIvf(emb, "vec_id", "embedding", centroids, path)
+      (centroids, path)
+    })
+
   /** ValidationSuite over the documents table (the reference's keyword set
     * applied to typed columns; two rules fire on real data). */
   val documentsSuite: String =
@@ -908,6 +924,27 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "s_ann_ivf" -> ((spark, dir) => {
+      // The IVF ANN scale path, oracle-checked END TO END INCLUDING TRAINING:
+      // exact-integer Lloyd k-means (seeds by (mix32(id), id), integer L2
+      // argmin assignment, truncated-integer-mean updates) is deterministic
+      // under any partitioning and fully expressible in DuckDB SQL, so the
+      // oracle re-derives the centroids themselves, the final cell
+      // assignment, the nprobe=2 probe set, and the exact scaled-int dot
+      // top-10 — no stage of the pipeline is opaque. The index is write-once
+      // partitionBy(cell); the lookup partition-prunes to the probed cells
+      // (at real scale k ~ sqrt(corpus), so nprobe/k is the read fraction —
+      // the cells adapt to data density, the property LSH planes lack).
+      implicit val s: SparkSession = spark
+      val (centroids, idx) = ivfIndex(spark, dir)
+      val emb = t(dir, "embeddings")
+      val qd = emb.where(col("vec_id") === 2)
+        .select(col("embedding").cast(ArrayType(DoubleType))).head().getSeq[Double](0)
+      Similarity.annTopKIvf(spark.read.parquet(idx), centroids, qd, 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("cell").cast(LongType).as("cell"),
+          col("dot_scaled"))
+    }),
+
     "s_ann_batch" -> ((spark, dir) => {
       // BATCH ANN: a query SET resolved as ONE bucket equi-join against the
       // persisted index — the repeated-lookup shape at scale (queries are a
@@ -1677,6 +1714,62 @@ object SparkEntry {
     // full-pipeline ANN oracle: integer plane weights (Murmur-style mix with
     // only *, %, xor, >>), int64-scaled components, bucket bits, Hamming<=2
     // multi-probe, exact integer dot top-10 — byte-for-byte what Spark runs
+    // IVF ANN, oracled END TO END *INCLUDING TRAINING*: the exact-integer
+    // Lloyd loop (seed selection by (mix32(id), id), integer-L2 argmin
+    // assignment with ties to the lowest cell, truncated-integer-mean
+    // centroid updates, empty cells keeping their previous centroid) is
+    // unrolled here as one CTE block per iteration. Truncated integer mean
+    // in portable SQL: (sm - (sm % n)) / n — the dividend is an exact
+    // multiple, so the division is exact in double and CAST is lossless;
+    // both engines' % truncates toward zero, matching Scala Long division.
+    "s_ann_ivf" ->
+      """WITH sv AS (SELECT vec_id, i - 1 AS d,
+        |              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS x
+        |       FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+        |mx AS (SELECT vec_id, xor(h3, h3 >> 13) AS mix FROM (
+        |         SELECT vec_id, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h3 FROM (
+        |           SELECT vec_id, (vec_id * 1664525) % 4294967296 AS h1 FROM embeddings))),
+        |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY mix, vec_id) - 1 AS cell
+        |          FROM mx ORDER BY mix, vec_id LIMIT 8),
+        |c0 AS (SELECT s.cell, v.d, v.x AS val FROM seeds s JOIN sv v USING (vec_id)),
+        |dist1 AS (SELECT v.vec_id, c.cell, SUM((v.x - c.val) * (v.x - c.val)) AS dd
+        |          FROM sv v JOIN c0 c ON c.d = v.d GROUP BY 1, 2),
+        |asg1 AS (SELECT vec_id, cell FROM (
+        |           SELECT vec_id, cell,
+        |                  row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        |           FROM dist1) WHERE rn = 1),
+        |upd1 AS (SELECT a.cell, v.d, SUM(v.x) AS sm, COUNT(*) AS n
+        |         FROM asg1 a JOIN sv v USING (vec_id) GROUP BY 1, 2),
+        |cent1 AS (SELECT c0.cell, c0.d,
+        |                 COALESCE(CAST((u.sm - (u.sm % u.n)) / u.n AS BIGINT), c0.val) AS val
+        |          FROM c0 LEFT JOIN upd1 u ON u.cell = c0.cell AND u.d = c0.d),
+        |dist2 AS (SELECT v.vec_id, c.cell, SUM((v.x - c.val) * (v.x - c.val)) AS dd
+        |          FROM sv v JOIN cent1 c ON c.d = v.d GROUP BY 1, 2),
+        |asg2 AS (SELECT vec_id, cell FROM (
+        |           SELECT vec_id, cell,
+        |                  row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        |           FROM dist2) WHERE rn = 1),
+        |upd2 AS (SELECT a.cell, v.d, SUM(v.x) AS sm, COUNT(*) AS n
+        |         FROM asg2 a JOIN sv v USING (vec_id) GROUP BY 1, 2),
+        |cent2 AS (SELECT cent1.cell, cent1.d,
+        |                 COALESCE(CAST((u.sm - (u.sm % u.n)) / u.n AS BIGINT), cent1.val) AS val
+        |          FROM cent1 LEFT JOIN upd2 u ON u.cell = cent1.cell AND u.d = cent1.d),
+        |distf AS (SELECT v.vec_id, c.cell, SUM((v.x - c.val) * (v.x - c.val)) AS dd
+        |          FROM sv v JOIN cent2 c ON c.d = v.d GROUP BY 1, 2),
+        |asgf AS (SELECT vec_id, cell FROM (
+        |           SELECT vec_id, cell,
+        |                  row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        |           FROM distf) WHERE rn = 1),
+        |qv AS (SELECT d, x AS qx FROM sv WHERE vec_id = 2),
+        |qdist AS (SELECT c.cell, SUM((q.qx - c.val) * (q.qx - c.val)) AS dd
+        |          FROM qv q JOIN cent2 c ON c.d = q.d GROUP BY 1),
+        |probe AS (SELECT cell FROM qdist ORDER BY dd, cell LIMIT 2)
+        |SELECT v.vec_id, CAST(a.cell AS BIGINT) AS cell,
+        |       CAST(SUM(v.x * q.qx) AS BIGINT) AS dot_scaled
+        |FROM sv v JOIN qv q ON q.d = v.d JOIN asgf a ON a.vec_id = v.vec_id
+        |WHERE a.cell IN (SELECT cell FROM probe)
+        |GROUP BY 1, 2 ORDER BY dot_scaled DESC, v.vec_id LIMIT 10""".stripMargin,
+
     "s_ann_lsh" ->
       """WITH w AS (
         |  SELECT p, d, (xor(h2, h2 >> 13) % 1000) - 500 AS wt FROM (

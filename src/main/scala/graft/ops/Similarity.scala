@@ -188,6 +188,112 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN: k-means cells instead of hyperplane signs ----
+
+  /** ExpressibleHash.mix32 as Column arithmetic (ANSI-safe: input must be a
+    * non-negative id; every intermediate < 2^62). Used for deterministic,
+    * SQL-reproducible seed selection and hash-sampling. */
+  private def mix32Col(c: Column): Column = {
+    val m = lit(4294967296L)
+    val h1 = pmod(c.cast(LongType) * lit(1664525L), m)
+    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
+    val h3 = pmod(h2 * lit(747796405L), m)
+    h3.bitwiseXOR(shiftright(h3, 13))
+  }
+
+  /**
+   * EXACT-INTEGER Lloyd k-means for IVF index cells. Everything happens in
+   * the int64-scaled domain (ScaleVec components = round(x*1e7)):
+   *
+   *   - seeds = the k rows with the smallest (mix32(id), id) — a
+   *     deterministic, order-free choice (TakeOrdered, no full sort);
+   *   - assignment = argmin of integer squared L2 (codegen'd [[NearestCell]],
+   *     ties to the lowest cell);
+   *   - update = elementwise TRUNCATED integer mean (sum/count on int64 —
+   *     integer sums are associative+commutative, so the result is
+   *     bit-identical regardless of partitioning or task order, unlike float
+   *     means); a cell that loses all members keeps its previous centroid.
+   *
+   * Because every stage is exact integer arithmetic, the whole training loop
+   * is expressible in DuckDB SQL (unrolled CTE per iteration) — the IVF
+   * pipeline gets a full cross-engine oracle from raw floats to top-k, the
+   * same bar the LSH path clears (s_ann_lsh). At 10^12 rows training runs on
+   * a hash-sample (`sampleMod` keeps ids with mix32(id) % sampleMod == 0 —
+   * deterministic and SQL-reproducible, unlike rdd-sample); assignment of
+   * the full corpus stays one map-side pass.
+   *
+   * k x dim longs collect to the driver per iteration — bounded, tiny.
+   */
+  def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int, sampleMod: Int = 1): Array[Array[Long]] = {
+    import graft.functions.{NearestCell, ScaleVec}
+    require(k > 0 && iters >= 0 && sampleMod >= 1, "need k > 0, iters >= 0, sampleMod >= 1")
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      ScaleVec(col(vecCol).cast(ArrayType(DoubleType))).as("sv"))
+    val train = (if (sampleMod == 1) base
+                 else base.where(pmod(mix32Col(col("id")), lit(sampleMod.toLong)) === 0L))
+      .cache()
+    try {
+      val seeds = train.orderBy(mix32Col(col("id")), col("id")).limit(k)
+        .select(col("sv")).collect().map(_.getSeq[Long](0).toArray)
+      require(seeds.length == k, s"corpus smaller than k=$k cells")
+      var centroids = seeds
+      for (_ <- 0 until iters) {
+        // per-(cell, dim) integer sums: posexplode + one map-side-combine
+        // groupBy; the collect is k x dim rows, independent of corpus size
+        val sums = train
+          .select(NearestCell(col("sv"), centroids).as("cell"),
+            posexplode(col("sv")).as(Seq("d", "x")))
+          .groupBy("cell", "d")
+          .agg(sum("x").as("sm"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          val c = r.getInt(0); val d = r.getInt(1)
+          next(c)(d) = r.getLong(2) / r.getLong(3) // Long division: truncates toward zero
+        }
+        centroids = next
+      }
+      centroids
+    } finally { train.unpersist(false); () }
+  }
+
+  /** Persist the IVF index: cell assigned ONCE against the final centroids
+    * (codegen'd NearestCell), written partitionBy(cell) with the scaled
+    * vector + squared norm — the same write-once/read-many, HOF-free read
+    * shape as [[buildIndex]], with k cells instead of 2^planes buckets
+    * (cells adapt to the data distribution; bucket occupancy is balanced by
+    * construction instead of by plane luck). */
+  def buildIndexIvf(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Long]], path: String): Unit = {
+    import graft.functions.{NearestCell, ScaledIntDot, ScaleVec}
+    df.select(col(idCol).as("id"), col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .withColumn("sv", ScaleVec(col("vec")))
+      .withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
+      .withColumn("cell", NearestCell(col("sv"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF lookup: the query's `nprobe` nearest cells are computed on the
+    * driver (k integer distances), the scan partition-prunes to those cell
+    * directories, and the top-k is the exact scaled-integer dot within the
+    * probed candidates — pure ScaledIntDot, no HOF in the read path.
+    * Returns (id, cell, dot_scaled). */
+  def annTopKIvf(index: DataFrame, centroids: Array[Array[Long]],
+                 query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.{NearestCell, ScaledIntDot, SignBucket}
+    require(nprobe > 0 && nprobe <= centroids.length, "need 0 < nprobe <= cells")
+    val qScaled = query.map(SignBucket.scaleComponent).toArray
+    val cells = NearestCell.cellDistances(qScaled, centroids).zipWithIndex
+      .sortBy { case (d2, c) => (d2, c) }.take(nprobe).map(_._2)
+    val qlit = array(qScaled.map(lit(_)).toIndexedSeq: _*)
+    index
+      .where(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("id"), col("cell"), ScaledIntDot(col("sv"), qlit).as("dot_scaled"))
+      .orderBy(desc("dot_scaled"), col("id"))
+      .limit(k)
+  }
+
   /** Multi-probe lookup against a [[buildIndex]] table: reads ONLY the
     * partitions of the query's bucket plus its Hamming-<=probeBits neighbor
     * buckets (partition pruning — verify with .explain: PartitionFilters).
