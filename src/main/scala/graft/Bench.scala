@@ -237,7 +237,17 @@ object Bench {
       // 2-core and 8-core runs ALTERNATE, each adjacent pair yields one
       // efficiency sample (t2_i/t8_i)/4, and the reported number is the
       // MEDIAN of the pair ratios — drift cancels within each pair.
-      val deadline = System.nanoTime() + 9L * 60 * 1000 * 1000 * 1000 // soft budget
+      // TWO soft budgets (all three degraded-host campaign runs of round 4
+      // starved the ann16/scalar sections because the pair loop alone — five
+      // 2-core legs at 4-6x their quiet-host duration — blew through a single
+      // shared budget): the PAIR loop stops taking new pairs after
+      // `pairsDeadline` (the ≥1-pair fallback still guarantees a published
+      // sample), and the post sections (ann16, scalar) run unless
+      // `postDeadline` has passed, so a slow-but-not-hopeless host still
+      // produces the full artifact, just with fewer pairs.
+      val scalingStart = System.nanoTime()
+      val pairsDeadline = scalingStart + 18L * 60 * 1000 * 1000 * 1000
+      val deadline = scalingStart + 30L * 60 * 1000 * 1000 * 1000
       def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       // per measured run: (wall sec, rows, executor cpu sec, occupancy,
       // mid-run clock-probe sec; probe < 0 = probe unavailable)
@@ -325,7 +335,7 @@ object Bench {
       val pairBuf = scala.collection.mutable.ArrayBuffer.empty[(Run, Run, Double)]
       var pairsRejected = 0
       var attempts = 0
-      while (pairBuf.size < 3 && attempts < 5) {
+      while (pairBuf.size < 3 && attempts < 5 && System.nanoTime() < pairsDeadline) {
         if (attempts > 0) Thread.sleep(30000) // cool-down between pairs
         val a = once(2, warms = 0, probeDelayMs = 15000)
         val b = once(8, warms = 0, probeDelayMs = 5000)
