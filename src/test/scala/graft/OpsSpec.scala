@@ -332,6 +332,18 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(rounds <= 5, s"took $rounds rounds")
   }
 
+  test("pointer jumping on a DEEP component: diameter-64 chain in O(log d) rounds") {
+    // the evidence gate for large-star/small-star (round-3 verdict item 10):
+    // plain min-label propagation needs 64 rounds here; path halving is
+    // O(log2 d) ~ 6-7 plus the convergence-probe round. If this ever climbs
+    // toward 2x log2(d), revisit star alternation; measured: well under.
+    val pairs = (1L to 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 65L).map(_ -> 1L).toMap)
+    assert(rounds <= 9, s"took $rounds rounds — pointer jumping regressed")
+  }
+
   test("end-to-end: near-dup pairs -> clusters -> keep one doc per cluster") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),
