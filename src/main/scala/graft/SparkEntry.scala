@@ -1719,9 +1719,12 @@ object SparkEntry {
     // assignment with ties to the lowest cell, truncated-integer-mean
     // centroid updates, empty cells keeping their previous centroid) is
     // unrolled here as one CTE block per iteration. Truncated integer mean
-    // in portable SQL: (sm - (sm % n)) / n — the dividend is an exact
-    // multiple, so the division is exact in double and CAST is lossless;
-    // both engines' % truncates toward zero, matching Scala Long division.
+    // in portable SQL: (sm - (sm % n)) // n — the dividend is an exact
+    // multiple of n (both engines' % truncates toward zero, matching Scala
+    // Long division), and `//` keeps the whole computation in BIGINT: a
+    // float `/` here would only be exact while |sm - sm%n| <= 2^53
+    // (~4.5e8 members per cell at |x| <= 2e7) — fine at test scale but not
+    // a bound the recipe should depend on (round-4 advice).
     "s_ann_ivf" ->
       """WITH sv AS (SELECT vec_id, i - 1 AS d,
         |              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS x
@@ -1741,7 +1744,7 @@ object SparkEntry {
         |upd1 AS (SELECT a.cell, v.d, SUM(v.x) AS sm, COUNT(*) AS n
         |         FROM asg1 a JOIN sv v USING (vec_id) GROUP BY 1, 2),
         |cent1 AS (SELECT c0.cell, c0.d,
-        |                 COALESCE(CAST((u.sm - (u.sm % u.n)) / u.n AS BIGINT), c0.val) AS val
+        |                 COALESCE(CAST((u.sm - (u.sm % u.n)) // u.n AS BIGINT), c0.val) AS val
         |          FROM c0 LEFT JOIN upd1 u ON u.cell = c0.cell AND u.d = c0.d),
         |dist2 AS (SELECT v.vec_id, c.cell, SUM((v.x - c.val) * (v.x - c.val)) AS dd
         |          FROM sv v JOIN cent1 c ON c.d = v.d GROUP BY 1, 2),
@@ -1752,7 +1755,7 @@ object SparkEntry {
         |upd2 AS (SELECT a.cell, v.d, SUM(v.x) AS sm, COUNT(*) AS n
         |         FROM asg2 a JOIN sv v USING (vec_id) GROUP BY 1, 2),
         |cent2 AS (SELECT cent1.cell, cent1.d,
-        |                 COALESCE(CAST((u.sm - (u.sm % u.n)) / u.n AS BIGINT), cent1.val) AS val
+        |                 COALESCE(CAST((u.sm - (u.sm % u.n)) // u.n AS BIGINT), cent1.val) AS val
         |          FROM cent1 LEFT JOIN upd2 u ON u.cell = cent1.cell AND u.d = cent1.d),
         |distf AS (SELECT v.vec_id, c.cell, SUM((v.x - c.val) * (v.x - c.val)) AS dd
         |          FROM sv v JOIN cent2 c ON c.d = v.d GROUP BY 1, 2),

@@ -42,26 +42,32 @@ case class NearestCell(child: Expression, centroids: Seq[Seq[Long]]) extends Una
   @transient private lazy val matrix: Array[Array[Long]] =
     centroids.map(_.toArray).toArray
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dim = arr.numElements()
-    // null element => no meaningful distance; cell 0 mirrors SignBucket's
-    // null-element convention (never silently reads 0 for a null slot)
+    // null element => no meaningful distance; the result is NULL, never a
+    // silently-wrong cell (a fixed cell 0 would diverge from any SQL oracle
+    // whose SUM skips NULL terms and assigns by the remaining dims —
+    // round-4 advice). Training/build paths filter these rows out.
     var d0 = 0
-    while (d0 < dim) { if (arr.isNullAt(d0)) return 0; d0 += 1 }
+    while (d0 < dim) { if (arr.isNullAt(d0)) return null; d0 += 1 }
     NearestCell.assignArrayData(arr, dim, matrix)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("nearestCellExpr", this, classOf[NearestCell].getName)
     val childGen = child.genCode(ctx)
+    val tmp = ctx.freshName("nearestCellRes")
     ev.copy(code = code"""
       ${childGen.code}
-      boolean ${ev.isNull} = ${childGen.isNull};
-      int ${ev.value} = 0;
-      if (!${ev.isNull}) {
-        ${ev.value} = (Integer) $self.nullSafeEval(${childGen.value});
-      }""")
+      Object $tmp = null;
+      if (!${childGen.isNull}) {
+        $tmp = $self.nullSafeEval(${childGen.value});
+      }
+      boolean ${ev.isNull} = ($tmp == null);
+      int ${ev.value} = ${ev.isNull} ? 0 : ((Integer) $tmp).intValue();""")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

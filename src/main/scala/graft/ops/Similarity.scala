@@ -228,22 +228,36 @@ object Similarity {
                         k: Int, iters: Int, sampleMod: Int = 1): Array[Array[Long]] = {
     import graft.functions.{NearestCell, ScaleVec}
     require(k > 0 && iters >= 0 && sampleMod >= 1, "need k > 0, iters >= 0, sampleMod >= 1")
+    // null embeddings carry no position: drop them up front (a null sv row
+    // would otherwise surface as an opaque NPE in the seed collect /
+    // null-key group — round-4 advice). Vectors with null ELEMENTS survive
+    // this filter but NearestCell nulls their cell; the update step filters
+    // those out below, and the seed collect rejects them loudly.
     val base = df.select(col(idCol).cast(LongType).as("id"),
-      ScaleVec(col(vecCol).cast(ArrayType(DoubleType))).as("sv"))
+        ScaleVec(col(vecCol).cast(ArrayType(DoubleType))).as("sv"))
+      .where(col("sv").isNotNull)
     val train = (if (sampleMod == 1) base
                  else base.where(pmod(mix32Col(col("id")), lit(sampleMod.toLong)) === 0L))
       .cache()
     try {
       val seeds = train.orderBy(mix32Col(col("id")), col("id")).limit(k)
-        .select(col("sv")).collect().map(_.getSeq[Long](0).toArray)
+        .select(col("sv")).collect().map { r =>
+          val s = r.getSeq[Any](0)
+          require(!s.contains(null),
+            "IVF training seed embedding contains null elements — clean the corpus first")
+          s.map(_.asInstanceOf[Long]).toArray
+        }
       require(seeds.length == k, s"corpus smaller than k=$k cells")
       var centroids = seeds
       for (_ <- 0 until iters) {
         // per-(cell, dim) integer sums: posexplode + one map-side-combine
-        // groupBy; the collect is k x dim rows, independent of corpus size
+        // groupBy; the collect is k x dim rows, independent of corpus size.
+        // cell IS NOT NULL drops element-null vectors (NearestCell nulls
+        // them) so the collect never sees a null-key group.
         val sums = train
           .select(NearestCell(col("sv"), centroids).as("cell"),
             posexplode(col("sv")).as(Seq("d", "x")))
+          .where(col("cell").isNotNull)
           .groupBy("cell", "d")
           .agg(sum("x").as("sm"), count(lit(1)).as("n"))
           .collect()

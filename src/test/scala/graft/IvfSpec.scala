@@ -54,6 +54,24 @@ class IvfSpec extends AnyFunSuite {
     c.flatten.foreach(v => assert(math.abs(v) <= 10000000L))
   }
 
+  test("null embeddings and null elements never corrupt training or assignment") {
+    import graft.functions.{NearestCell, ScaleVec}
+    // 60 clean vectors + a null vector + a vector with a null element:
+    // training must silently exclude the malformed rows, not NPE
+    val dirty = ((0L until 60L).map(i => (i, Seq(Some((i % 7).toFloat / 7 - 0.4f), Some(0.2f)))) ++
+      Seq((60L, null: Seq[Option[Float]]), (61L, Seq(Some(0.1f), None))))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.trainIvfCentroids(dirty, "vec_id", "embedding", k = 3, iters = 2)
+    assert(c.length === 3)
+    // the expression itself nulls out on a null element (never a silent cell 0)
+    val cells = dirty.select(col("vec_id"),
+        NearestCell(ScaleVec(col("embedding").cast(ArrayType(DoubleType))), c).as("cell"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(cells(60L) === None)
+    assert(cells(61L) === None)
+    assert(cells(0L).isDefined)
+  }
+
   test("IVF index lookup: partition-pruned, HOF-free, matches brute force within probed cells") {
     import graft.functions.{NearestCell, ScaleVec}
     val data = synthetic(300, 16)
@@ -68,7 +86,11 @@ class IvfSpec extends AnyFunSuite {
     assert(!plan.contains("lambdafunction"), plan)
     val gotRows = got.collect()
     val gotIds = gotRows.map(_.getLong(0))
-    assert(gotIds.head === 7L) // the query's own vector leads its own cell
+    // the query's own vector must be among the results (its own cell is
+    // always probed); its exact RANK is a property of the synthetic data
+    // (a longer co-directional vector may legitimately out-dot it), so the
+    // ranking itself is pinned only by the brute-force cross-check below
+    assert(gotIds.contains(7L))
     // cross-check: same candidates via in-memory assignment, exact int dot
     val qs = q.map(graft.functions.SignBucket.scaleComponent).toArray
     val probed = NearestCell.cellDistances(qs, centroids).zipWithIndex
