@@ -680,7 +680,7 @@ object SparkEntry {
       // path is d_neardup_lsh (band-bucket join, candidates only)
       implicit val s: SparkSession = spark
       val g = t(dir, "documents").where(col("doc_id") < 120)
-        .select(col("doc_id"), explode(array_distinct(Dedup.shingles(col("text"), 3))).as("gram"))
+        .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 3)).as("gram"))
       val a = g.as("a"); val b = g.as("b")
       a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

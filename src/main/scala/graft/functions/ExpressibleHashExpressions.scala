@@ -92,15 +92,23 @@ object ExpressibleHash {
     }
   }
 
+  /** Word hashes of a RAW `\s+`-split array: null and EMPTY tokens are
+    * skipped inside the loop (compacting), so callers pass the unfiltered
+    * split output and no interpreted filter-HOF ever runs in the map stage
+    * (round-4 verdict #2). Matches the oracles' `w <> ''` word-CTE filter. */
   private[functions] def hashesOf(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
+    var m = 0
     while (i < n) {
-      out(i) = if (arr.isNullAt(i)) wordHash("") else wordHash(arr.getUTF8String(i).toString)
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes > 0) { out(m) = wordHash(s.toString); m += 1 }
+      }
       i += 1
     }
-    out
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
   }
 
   /** Driver-side reference pipelines (assertions + literal-query hashing). */
@@ -196,18 +204,19 @@ object MinHashBandsX {
 }
 
 /** 32-bit expressible SimHash: per-bit majority vote of word hashes (word
-  * multiplicity counts, matching an UNNEST-per-occurrence SQL oracle). */
+  * multiplicity counts, matching an UNNEST-per-occurrence SQL oracle).
+  * Takes the RAW split array; empty/null tokens are skipped in the loop
+  * (the oracle's `w <> ''` filter), so no filter-HOF precedes it. */
 case class SimHashX(child: Expression) extends WordsArrayExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_x"
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    val hashes = ExpressibleHash.hashesOf(input.asInstanceOf[ArrayData])
+    val n = hashes.length
     val counts = new Array[Int](32)
     var i = 0
     while (i < n) {
-      val h = if (arr.isNullAt(i)) ExpressibleHash.wordHash("")
-              else ExpressibleHash.wordHash(arr.getUTF8String(i).toString)
+      val h = hashes(i)
       var b = 0
       while (b < 32) { counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
       i += 1

@@ -48,17 +48,26 @@ case class MinHashSignature(child: Expression, n: Int, k: Int) extends UnaryExpr
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val numWords = arr.numElements()
-    // per-word 64-bit base hash, computed once
-    val wordHash = new Array[Long](numWords)
+    val numElems = arr.numElements()
+    // per-word 64-bit base hash, computed once; empty/null tokens of the RAW
+    // split array are skipped here (compacting) so callers never need an
+    // interpreted filter-HOF upstream (round-4 verdict #2)
+    var wordHash = new Array[Long](numElems)
     var i = 0
-    while (i < numWords) {
-      val s = arr.getUTF8String(i)
-      val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
-      val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1042)
-      wordHash(i) = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+    var numWords = 0
+    while (i < numElems) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes > 0) {
+          val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+          val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1042)
+          wordHash(numWords) = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+          numWords += 1
+        }
+      }
       i += 1
     }
+    if (numWords != numElems) wordHash = java.util.Arrays.copyOf(wordHash, numWords)
     val sig = Array.fill(k)(Long.MaxValue)
     val windows = math.max(numWords - n + 1, if (numWords > 0) 1 else 0)
     var w = 0

@@ -344,6 +344,46 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(rounds <= 9, s"took $rounds rounds — pointer jumping regressed")
   }
 
+  test("a CC round costs at most 2 driver actions (probe fused into checkpoint job)") {
+    // round-4 verdict #3: eager-checkpoint + separate convergence count made
+    // each round 3 driver round-trips; the lazy checkpoint materialized by
+    // the count itself brings it to 2 (count-probe, jump checkpoint). AQE is
+    // disabled here so one action == one job and the count is deterministic;
+    // broadcast sides never appear (checkpointed LogicalRDDs have unknown,
+    // i.e. huge, stats).
+    val sc = spark.sparkContext
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at TEST scale the join sides are tiny, so Spark adds an async
+    // broadcast-exchange job per round; disable broadcast so one action ==
+    // one job and the assertion counts exactly the synchronous round-trips
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    try {
+      val pairs = (1L to 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      org.apache.spark.sql.graftshim.Bridge.drainListenerBus(sc, 30000L)
+      sc.addSparkListener(listener)
+      val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs)
+      org.apache.spark.sql.graftshim.Bridge.drainListenerBus(sc, 30000L)
+      sc.removeSparkListener(listener)
+      val n = jobs.get()
+      // 1 job for the edges checkpoint + 2 per round; +1 slack for engine
+      // internals — 3 per round must FAIL (that was the regression)
+      assert(n <= 2 * rounds + 2, s"$n jobs for $rounds rounds — probe not fused")
+      assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        (1L to 17L).map(_ -> 1L).toMap)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("end-to-end: near-dup pairs -> clusters -> keep one doc per cluster") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),

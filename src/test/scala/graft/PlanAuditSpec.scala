@@ -173,6 +173,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup pipelines are HOF-free end to end (no interpreted lambda anywhere)") {
+    // round-4 verdict #2: the LSH map stage carried a filter(split(...))
+    // lambda and the shingle join-back carried slice/concat_ws transforms —
+    // all replaced by compiled loops inside the custom expressions
+    for (q <- Seq("d_neardup_lsh", "d_minhash_stats", "d_simhash", "d_jaccard_pairs")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction"), s"$q plan has a HOF: ${plan.take(2000)}")
+    }
+  }
+
   test("verdict aggregation is a partial+final hash aggregate (map-side combine)") {
     val compiled = graft.rules.SuiteCompiler.compile(SparkEntry.documentsSuite)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
