@@ -917,7 +917,8 @@ object SparkEntry {
       // codegen'd ScaleVec at build time), so the lookup projection is pure
       // ScaledIntDot — genuinely no HOF anywhere in the read path
       val dot = ScaledIntDot(col("sv"), qlit)
-      spark.read.parquet(idx)
+      // openIndex validates the stored family/planes metadata before probing
+      Similarity.openIndex(spark, idx, planes)
         .where(col("bucket").isin(buckets: _*))
         .select(col("id").as("vec_id"), dot.as("dot_scaled"))
         .orderBy(desc("dot_scaled"), col("vec_id"))
@@ -940,7 +941,8 @@ object SparkEntry {
       val emb = t(dir, "embeddings")
       val qd = emb.where(col("vec_id") === 2)
         .select(col("embedding").cast(ArrayType(DoubleType))).head().getSeq[Double](0)
-      Similarity.annTopKIvf(spark.read.parquet(idx), centroids, qd, 10, nprobe = 2)
+      Similarity.annTopKIvf(Similarity.openIndexIvf(spark, idx, centroids),
+          centroids, qd, 10, nprobe = 2)
         .select(col("id").as("vec_id"), col("cell").cast(LongType).as("cell"),
           col("dot_scaled"))
     }),
@@ -968,7 +970,7 @@ object SparkEntry {
         SignBucket.probeBuckets(bucket, planes, probeBits).map(b => (qid, b, qscaled))
       }.toDF("q_id", "bucket", "qscaled")
       val dot = ScaledIntDot(col("sv"), col("qscaled")) // sv pre-scaled at index build
-      val cand = spark.read.parquet(idx).join(broadcast(probes), "bucket")
+      val cand = Similarity.openIndex(spark, idx, planes).join(broadcast(probes), "bucket")
         .select(col("q_id"), col("id").as("vec_id"), dot.as("dot_scaled"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("q_id").orderBy(desc("dot_scaled"), col("vec_id"))

@@ -18,6 +18,111 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
+  // ---- index self-description (round-4 verdict #4) -------------------------
+  // Every persisted ANN index carries a `_graft_index_meta.json` (written at
+  // build, `_`-prefixed so parquet readers ignore it) recording the family
+  // and geometry it was built with. Every PATH-based lookup entry point
+  // validates it: probing a planes=16 index with planes=13 would otherwise
+  // silently read the WRONG partitions and return wrong neighbors — the
+  // mismatch must throw, never degrade.
+
+  /** Version tag of the scaled-integer vector domain (`sv` = round(x*1e7))
+    * the indexes store; bumped if the scaling ever changes. */
+  final val ScaleVersion = "scaledint-1e7-v1"
+  private final val MetaFileName = "_graft_index_meta.json"
+  private def jstr(s: String): String = "\"" + s + "\""
+
+  /** Order- and content-sensitive digest of a centroid matrix. */
+  def centroidsDigest(centroids: Array[Array[Long]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](8)
+    centroids.foreach { row =>
+      row.foreach { v =>
+        var i = 0
+        while (i < 8) { buf(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+        md.update(buf)
+      }
+      md.update('|'.toByte)
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, MetaFileName)
+
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                             fields: Seq[(String, String)]): Unit = {
+    val json = fields.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val hp = metaPath(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Validate a stored index's metadata against what the caller is about to
+    * probe with; absent or mismatching metadata throws (never probes). The
+    * expected values are compared in their serialized JSON form. */
+  private def requireIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                               expect: Seq[(String, String)]): Unit = {
+    val hp = metaPath(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) throw new IllegalArgumentException(
+      s"ANN index at $path has no $MetaFileName — (re)build it with " +
+        "buildIndex/buildIndexPrefixed/buildIndexIvf; refusing to guess its geometry")
+    val in = fs.open(hp)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    val obj = graft.json.Json.parse(text) match {
+      case o: graft.json.JObj => o
+      case other => throw new IllegalArgumentException(
+        s"ANN index metadata at $hp is not a JSON object: ${other.typeName}")
+    }
+    expect.foreach { case (k, want) =>
+      val got = obj.get(k).map(graft.json.Json.render).getOrElse("<absent>")
+      if (got != want) throw new IllegalArgumentException(
+        s"ANN index at $path was built with $k=$got but this lookup expects $k=$want — " +
+          "a silent mismatch would probe the wrong partitions and return wrong " +
+          "neighbors; rebuild the index or fix the caller")
+    }
+  }
+
+  /** Validated loader for a [[buildIndex]] (flat bucket-partitioned) index:
+    * checks family/planes/scale metadata once, returns the relation for
+    * reuse across lookups (the serving shape — per-call relation resolution
+    * pays partition discovery every call). */
+  def openIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                planes: Int): DataFrame = {
+    requireIndexMeta(spark, path, Seq(
+      "family" -> jstr("lsh_flat"), "planes" -> planes.toString,
+      "scale" -> jstr(ScaleVersion)))
+    spark.read.parquet(path)
+  }
+
+  /** Validated loader for a [[buildIndexPrefixed]] index. */
+  def openIndexPrefixed(spark: org.apache.spark.sql.SparkSession, path: String,
+                        planes: Int, prefixBits: Int): DataFrame = {
+    requireIndexMeta(spark, path, Seq(
+      "family" -> jstr("lsh_prefixed"), "planes" -> planes.toString,
+      "prefix_bits" -> prefixBits.toString, "scale" -> jstr(ScaleVersion)))
+    spark.read.parquet(path)
+  }
+
+  /** Validated loader for a [[buildIndexIvf]] index: the caller's centroid
+    * matrix must DIGEST-match the one the index was assigned with — probing
+    * cells from different centroids returns silently wrong neighbors. */
+  def openIndexIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                   centroids: Array[Array[Long]]): DataFrame = {
+    requireIndexMeta(spark, path, Seq(
+      "family" -> jstr("ivf"), "cells" -> centroids.length.toString,
+      "centroids_digest" -> jstr(centroidsDigest(centroids)),
+      "scale" -> jstr(ScaleVersion)))
+    spark.read.parquet(path)
+  }
+
   /** Dot product of two float-array columns via zip_with + aggregate.
     * INTERPRETED (CodegenFallback HOFs) — kept only as the cross-check
     * baseline for the codegen'd ScaledIntDot paths; never in a scale path. */
@@ -119,6 +224,9 @@ object Similarity {
       .withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
       .withColumn("bucket", signBucket(col("vec"), planes))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeIndexMeta(df.sparkSession, path, Seq(
+      "family" -> jstr("lsh_flat"), "planes" -> planes.toString,
+      "scale" -> jstr(ScaleVersion)))
   }
 
   /**
@@ -146,6 +254,9 @@ object Similarity {
       .repartition(col("part"))            // one writer task per prefix dir
       .sortWithinPartitions("part", "bucket") // row-group min/max on bucket
       .write.mode("overwrite").partitionBy("part").parquet(path)
+    writeIndexMeta(df.sparkSession, path, Seq(
+      "family" -> jstr("lsh_prefixed"), "planes" -> planes.toString,
+      "prefix_bits" -> prefixBits.toString, "scale" -> jstr(ScaleVersion)))
   }
 
   /** Multi-probe lookup against a [[buildIndexPrefixed]] table: partition
@@ -155,8 +266,8 @@ object Similarity {
   def annTopKIndexedPrefixed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                              query: Seq[Double], k: Int, planes: Int, prefixBits: Int,
                              probeBits: Int = 1): DataFrame =
-    annTopKIndexedPrefixed(spark.read.parquet(indexPath), query, k, planes,
-      prefixBits, probeBits)
+    annTopKIndexedPrefixed(openIndexPrefixed(spark, indexPath, planes, prefixBits),
+      query, k, planes, prefixBits, probeBits)
 
   /** Serving-path form of [[annTopKIndexedPrefixed]]: the index RELATION is
     * loaded once and reused across queries — re-resolving the parquet
@@ -286,6 +397,11 @@ object Similarity {
       .withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
       .withColumn("cell", NearestCell(col("sv"), centroids))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeIndexMeta(df.sparkSession, path, Seq(
+      "family" -> jstr("ivf"), "cells" -> centroids.length.toString,
+      "dim" -> centroids.headOption.map(_.length).getOrElse(0).toString,
+      "centroids_digest" -> jstr(centroidsDigest(centroids)),
+      "scale" -> jstr(ScaleVersion)))
   }
 
   /** IVF lookup: the query's `nprobe` nearest cells are computed on the
@@ -293,6 +409,11 @@ object Similarity {
     * directories, and the top-k is the exact scaled-integer dot within the
     * probed candidates — pure ScaledIntDot, no HOF in the read path.
     * Returns (id, cell, dot_scaled). */
+  def annTopKIvf(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                 centroids: Array[Array[Long]], query: Seq[Double], k: Int,
+                 nprobe: Int): DataFrame =
+    annTopKIvf(openIndexIvf(spark, indexPath, centroids), centroids, query, k, nprobe)
+
   def annTopKIvf(index: DataFrame, centroids: Array[Array[Long]],
                  query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     import graft.functions.{NearestCell, ScaledIntDot, SignBucket}
@@ -325,7 +446,7 @@ object Similarity {
     val qNorm = math.sqrt(qScaled.map(x => x.toDouble * x).sum)
     val qlit = array(qScaled.map(lit(_)): _*)
     val dot = ScaledIntDot(col("sv"), qlit)
-    spark.read.parquet(indexPath)
+    openIndex(spark, indexPath, planes)
       .where(col("bucket").isin(buckets: _*))
       .select(col("id"),
         (dot.cast(DoubleType) / (sqrt(col("n2").cast(DoubleType)) * lit(qNorm)))

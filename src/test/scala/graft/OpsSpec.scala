@@ -273,6 +273,60 @@ class SimilaritySpec extends AnyFunSuite {
       planes = 6, prefixBits = 6, probeBits = 1).collect()
     assert(got.nonEmpty && got.head.getLong(0) === 2L)
   }
+
+  test("indexes are self-describing: geometry mismatches throw, never probe wrong") {
+    import org.apache.spark.sql.types._
+    val data = (0L until 200L).map(i =>
+      (i, (0 until 8).map(d => ((i * 41 + d * 17 + 5) % 23).toDouble / 23 - 0.5)))
+      .toDF("vec_id", "embedding")
+    val q = data.where(col("vec_id") === 3L).select(col("embedding")).head().getSeq[Double](0)
+
+    // prefixed LSH: planes and prefixBits are validated against the build
+    val pfx = java.nio.file.Files.createTempDirectory("graft-meta-pfx").toString
+    Similarity.buildIndexPrefixed(data, "vec_id", "embedding", planes = 8, prefixBits = 4, pfx)
+    assert(Similarity.annTopKIndexedPrefixed(spark, pfx, q, 3, planes = 8,
+      prefixBits = 4, probeBits = 1).collect().nonEmpty)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.annTopKIndexedPrefixed(spark, pfx, q, 3, planes = 7,
+        prefixBits = 4, probeBits = 1)
+    }
+    assert(e1.getMessage.contains("planes"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.annTopKIndexedPrefixed(spark, pfx, q, 3, planes = 8,
+        prefixBits = 3, probeBits = 1)
+    }
+    assert(e2.getMessage.contains("prefix_bits"))
+    // family mismatch: the flat-index entry point refuses a prefixed index
+    val e3 = intercept[IllegalArgumentException] { Similarity.openIndex(spark, pfx, 8) }
+    assert(e3.getMessage.contains("family"))
+
+    // flat LSH: planes validated
+    val flat = java.nio.file.Files.createTempDirectory("graft-meta-flat").toString
+    Similarity.buildIndex(data, "vec_id", "embedding", planes = 6, flat)
+    assert(Similarity.annTopKIndexed(spark, flat, q, 3, planes = 6).collect().nonEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.annTopKIndexed(spark, flat, q, 3, planes = 5)
+    }
+
+    // IVF: the caller's centroid matrix must digest-match the build's
+    val ivf = java.nio.file.Files.createTempDirectory("graft-meta-ivf").toString
+    val cents = Similarity.trainIvfCentroids(data, "vec_id", "embedding", k = 4, iters = 1)
+    Similarity.buildIndexIvf(data, "vec_id", "embedding", cents, ivf)
+    assert(Similarity.annTopKIvf(spark, ivf, cents, q, 3, nprobe = 2).collect().nonEmpty)
+    val other = cents.map(_.clone()); other(0)(0) += 1L
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.annTopKIvf(spark, ivf, other, q, 3, nprobe = 2)
+    }
+    assert(e4.getMessage.contains("centroids_digest"))
+
+    // an index without metadata is refused outright
+    val hp = new org.apache.hadoop.fs.Path(flat, "_graft_index_meta.json")
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, false)
+    val e5 = intercept[IllegalArgumentException] {
+      Similarity.annTopKIndexed(spark, flat, q, 3, planes = 6)
+    }
+    assert(e5.getMessage.contains("no _graft_index_meta.json"))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -160,6 +160,25 @@ class PipelineSpec extends AnyFunSuite {
     val r4 = ValidationPipeline.run(spark, corpusPath, suite, outDir, "snap-1")
     assert(r4.resumedSkipped === 4)
     assert(spark.read.parquet(s"$outDir/violations").count() === 7)
+
+    // corrupt/partial manifest missing ONLY the global entry (e.g. a manifest
+    // from a run killed between the last batch checkpoint and the global
+    // check): the pipeline must RECOMPUTE the global rule, never trust the
+    // partial manifest's absence as "no duplicates" (round-4 verdict #8)
+    val m5 = Manifest.loadOrEmpty(s"$outDir/manifest.json", "snap-1",
+      SuiteCompiler.compile(suite).suiteHash)
+    assert(m5.globalDuplicateKeys.isDefined) // precondition: r4 recorded it
+    val noGlobal = Manifest.empty("snap-1", SuiteCompiler.compile(suite).suiteHash)
+      .withEntries(m5.entries.values.toSeq) // all partitions, NO global key
+    Manifest.save(noGlobal, s"$outDir/manifest.json")
+    val r5 = ValidationPipeline.run(spark, corpusPath, suite, outDir, "snap-1")
+    assert(r5.resumedSkipped === 8)
+    assert(!r5.globalLoaded, "dropped global entry must be recomputed, not loaded")
+    assert(r5.globalDuplicateKeys === 0)
+    // and the recomputed value was re-checkpointed
+    val m6 = Manifest.loadOrEmpty(s"$outDir/manifest.json", "snap-1",
+      SuiteCompiler.compile(suite).suiteHash)
+    assert(m6.globalDuplicateKeys === Some(0L))
   }
 }
 

@@ -75,4 +75,60 @@ class StreamingSpec extends AnyFunSuite {
     val bad = spark.sql("SELECT sum(bad) FROM streaks").head().getLong(0)
     assert(bad === 7) // rows 50,100,...,350
   }
+
+  test("watermarked dedup: RocksDB state rows are ACTUALLY removed (numRowsRemoved > 0)") {
+    // direct state-store evidence for the e_stream_dedup_wm shape (round-4
+    // verdict #9): the gate row proves eviction via the emits=2 output
+    // pattern; this pins it on the state operator's own metrics. Same
+    // construction at toy scale: batch 1 = keys at t0 (+ a watermark
+    // advancer far in the future), batch 2 = one new key (cleanup runs at
+    // END of batch), batch 3 = the original keys again, re-emitted only if
+    // their state rows were evicted.
+    import org.apache.spark.sql.types._
+    val staged = java.nio.file.Files.createTempDirectory("graft-wm-metrics").toString
+    val epoch = 1704067200L
+    def mkBatch(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wm-metrics-tmp").toString
+      rows.toDF("user_id", "sec")
+        .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(staged, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime); ()
+    }
+    val keys = (1L to 5L)
+    val m0 = System.currentTimeMillis() - 120000
+    mkBatch(keys.map(k => (k, epoch)) :+ ((-1L, epoch + 10L * 3600)), "b1.parquet", m0)
+    mkBatch(Seq((-2L, epoch + 20L * 3600)), "b2.parquet", m0 + 10000)
+    mkBatch(keys.map(k => (k, epoch + 20L * 3600)), "b3.parquet", m0 + 20000)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType)))
+      val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select(col("user_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("wm_metrics_sink").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      q.stop()
+      assert(removed > 0, "state store reported zero evicted rows — state is unbounded")
+      // and the output pattern agrees: every original key emitted twice
+      val emits = spark.table("wm_metrics_sink").where(col("user_id") > 0)
+        .groupBy("user_id").count().collect().map(_.getLong(1))
+      assert(emits.length === 5 && emits.forall(_ === 2L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
