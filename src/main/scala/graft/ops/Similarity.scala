@@ -396,6 +396,9 @@ object Similarity {
       .withColumn("sv", ScaleVec(col("vec")))
       .withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
       .withColumn("cell", NearestCell(col("sv"), centroids))
+      .repartition(col("cell")) // one writer task per cell dir: file count =
+      // k cells, not tasks x cells (the smoke bench measured the unpartitioned
+      // write at ~2k tiny files and 2x the build time)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     writeIndexMeta(df.sparkSession, path, Seq(
       "family" -> jstr("ivf"), "cells" -> centroids.length.toString,
