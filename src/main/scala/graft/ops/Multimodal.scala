@@ -78,13 +78,14 @@ object Multimodal {
     def lcg(c: Column): Column = (c % M) // values below are already < 2^62 pre-mod
     val id = col("id")
     val kindIdx = (shiftright(lcg(id * 2654435761L), 16) % 3).cast(IntegerType)
-    val payloadHex = concat((0 until 64).map { j =>
-      lpad(hex(shiftright(lcg((id * 64L + (j + 7).toLong) * 1664525L + 1013904223L), 16) % 256), 2, "0")
-    }: _*)
+    // payload bytes in ONE codegen'd loop (SyntheticPayload) — bit-identical
+    // to the previous 64-term hex/lpad/concat + unhex pyramid, whose codegen
+    // compile cost grew linearly with payload width (round-4 optional #10);
+    // the LCG definition and the m_media_features oracle are unchanged
     spark.range(0, rows, 1, partitions).select(
       id.as("media_id"),
       element_at(kinds, kindIdx + 1).as("kind"),
-      unhex(payloadHex).as("payload"),
+      graft.functions.SyntheticPayload(id, 64).as("payload"),
       (shiftright(lcg(id * 22695477L + 1L), 16) % 1920 + 1).cast(IntegerType).as("width"),
       (shiftright(lcg(id * 1103515245L + 12345L), 16) % 1080 + 1).cast(IntegerType).as("height"),
       lit(16000).as("sample_rate"))
