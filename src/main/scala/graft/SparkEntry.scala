@@ -416,6 +416,8 @@ object SparkEntry {
 
     "v_csv_source" -> ((spark, dir) => stagedEventsAgg(spark, dir, "csv")),
 
+    "v_orc_source" -> ((spark, dir) => stagedEventsAgg(spark, dir, "orc")),
+
     "q_events_hourly" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       t(dir, "events")
@@ -808,6 +810,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d_decontaminate" -> ((spark, dir) => {
+      // test-set decontamination: train docs sharing any trigram with the
+      // benchmark slice (doc_id % 97 == 0 — the small held-out set). Bench
+      // gram table BROADCAST, train side one map-side scan; gram keys are
+      // the expressible shingle-fold hashes, so the oracle re-derives the
+      // join keys themselves from raw text.
+      implicit val s: SparkSession = spark
+      val docs = docs3Plus(dir)
+      val bench = docs.where(pmod(col("doc_id"), lit(97L)) === 0L)
+      val train = docs.where(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+        .select(col("doc_id"), col("n_shared_grams").cast(LongType).as("n_shared_grams"),
+          col("n_bench_docs").cast(LongType).as("n_bench_docs"))
+        .orderBy("doc_id")
+    }),
+
+    "d_boilerplate" -> ((spark, dir) => {
+      // boilerplate detection: trigrams appearing in >= 5 documents (per-doc
+      // distinct, so df = document frequency). One uniform-key shuffle with
+      // map-side combine; top-50 by (df desc, gram) is a total order.
+      implicit val s: SparkSession = spark
+      Dedup.boilerplateGrams(docs3Plus(dir), "doc_id", "text", n = 3, minDf = 5L)
+        .select(col("gram").cast(LongType).as("gram"),
+          col("df").cast(LongType).as("df"),
+          col("first_doc").cast(LongType).as("first_doc"))
+        .orderBy(desc("df"), col("gram"))
+        .limit(50)
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "v_token_freq" -> ((spark, dir) => {
       // corpus-wide token-frequency check (TableChecks.tokenFrequencies:
@@ -861,6 +892,24 @@ object SparkEntry {
           size(array_distinct(split(lower(col("text")), "\\s+"))).cast(LongType).as("distinct_words"),
           TextOps.punctCount(col("text")).cast(LongType).as("punct"))
         .orderBy("doc_id")
+    }),
+
+    "t_sample_stratified" -> ((spark, dir) => {
+      // deterministic per-language downsampling: keep-rate by lang, coin =
+      // mix32(doc_id) % 1000 (TextOps.keepSample) — pure map-side column
+      // arithmetic, partitioning-invariant, SQL-reproducible; the
+      // sampled-id sum pins the EXACT kept set, not just its size
+      implicit val s: SparkSession = spark
+      val permille = when(col("lang") === "en", lit(250L))
+        .when(col("lang") === "de", lit(500L))
+        .when(col("lang") === "es", lit(750L))
+        .otherwise(lit(1000L))
+      val kept = TextOps.keepSample(col("doc_id"), permille)
+      t(dir, "documents").groupBy("lang").agg(
+        count(lit(1)).cast(LongType).as("total"),
+        sum(when(kept, 1L).otherwise(0L)).cast(LongType).as("sampled"),
+        sum(when(kept, col("doc_id")).otherwise(0L)).cast(LongType).as("sampled_id_sum"))
+        .orderBy("lang")
     }),
 
     "t_fingerprint" -> ((spark, dir) => {
@@ -1102,6 +1151,51 @@ object SparkEntry {
         |SELECT d0.doc_id, CAST(COALESCE(sh.simhash, 0) AS BIGINT) AS simhash
         |FROM d0 LEFT JOIN sh ON sh.doc_id = d0.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+
+    // decontamination: the trigram JOIN KEYS are re-derived from raw text
+    // (word-hash chain + window fold), then bench/train split and overlap
+    // counts — the whole operator, including its hash family, is pinned
+    "d_decontaminate" ->
+      s"""WITH dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents) WHERE len(words) >= 3),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |$whChainSql,
+        |sh AS (SELECT a.doc_id,
+        |         (((((17*1000003 + a.wh) % 4294967296) * 1000003 + b.wh) % 4294967296)
+        |            * 1000003 + c.wh) % 4294967296 AS gram
+        |       FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |                 JOIN wh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |g AS (SELECT DISTINCT doc_id, gram FROM sh),
+        |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id,
+        |       CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+        |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        |FROM tr JOIN b ON b.gram = tr.gram
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // boilerplate: document frequency of the SAME re-derived trigram hashes
+    "d_boilerplate" ->
+      s"""WITH dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents) WHERE len(words) >= 3),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |$whChainSql,
+        |sh AS (SELECT a.doc_id,
+        |         (((((17*1000003 + a.wh) % 4294967296) * 1000003 + b.wh) % 4294967296)
+        |            * 1000003 + c.wh) % 4294967296 AS gram
+        |       FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |                 JOIN wh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |g AS (SELECT DISTINCT doc_id, gram FROM sh)
+        |SELECT CAST(gram AS BIGINT) AS gram, CAST(count(*) AS BIGINT) AS df,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM g GROUP BY gram HAVING count(*) >= 5
+        |ORDER BY df DESC, gram LIMIT 50""".stripMargin,
 
     // keyword matrix: one UNION-ALL branch per keyword, predicates replicated
     // exactly (integer arithmetic; messages byte-match the reference formats)
@@ -1396,6 +1490,13 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // oracle reads the ORIGINAL parquet — a green row proves the ORC
+    // round-trip is lossless
+    "v_orc_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // oracle reads the ORIGINAL parquet — a green row proves the JSONL
     // round-trip (shortest-decimal double serialization) is lossless
     "v_json_source" ->
@@ -1621,6 +1722,22 @@ object SparkEntry {
         |  CAST(sum(i * (strlen(words[i]) * 31 + ascii(substring(words[i], 1, 1)))) AS BIGINT) AS fp
         |FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // deterministic stratified sampling: the mix32 coin re-derived from
+    // doc_id, per-language keep rates, and the kept-id sum pinning the
+    // exact kept set (mix is non-negative, so % matches Spark's pmod)
+    "t_sample_stratified" ->
+      """WITH mx AS (SELECT doc_id, lang, xor(h3, h3 >> 13) AS mix FROM (
+        |        SELECT doc_id, lang, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h3 FROM (
+        |          SELECT doc_id, lang, (doc_id * 1664525) % 4294967296 AS h1 FROM documents))),
+        |k AS (SELECT lang, doc_id,
+        |        CASE WHEN mix % 1000 < (CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
+        |                                          WHEN 'es' THEN 750 ELSE 1000 END)
+        |             THEN 1 ELSE 0 END AS kept FROM mx)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS total,
+        |       CAST(sum(kept) AS BIGINT) AS sampled,
+        |       CAST(sum(CASE WHEN kept = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "s_dot_top10" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

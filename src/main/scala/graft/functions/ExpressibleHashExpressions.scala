@@ -111,9 +111,37 @@ object ExpressibleHash {
     if (m == n) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** The per-window shingle fold shared by the signature and the distinct-
+    * shingle-hash form: s0 = 17, s := (s*1000003 + wordHash) mod 2^32. */
+  private[functions] def windowFold(hashes: Array[Long], from: Int, until: Int): Long = {
+    var s = 17L
+    var p = from
+    while (p < until) { s = (s * 1000003L + hashes(p)) % M; p += 1 }
+    s
+  }
+
+  /** [[ExpressibleHash.mix32]] as Column arithmetic (ANSI-safe: input must be
+    * a non-negative long; every intermediate < 2^62). The deterministic,
+    * partitioning-invariant, SQL-reproducible coin for sampling and seeding. */
+  def mix32Col(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val m = lit(M)
+    val h1 = pmod(c.cast(LongType) * lit(1664525L), m)
+    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
+    val h3 = pmod(h2 * lit(747796405L), m)
+    h3.bitwiseXOR(shiftright(h3, 13))
+  }
+
   /** Driver-side reference pipelines (assertions + literal-query hashing). */
   def signature(words: Seq[String], n: Int, k: Int): Array[Long] =
     signatureOf(words.map(wordHash).toArray, n, k)
+  def shingleHashes(words: Seq[String], n: Int): Seq[Long] = {
+    val hs = words.map(wordHash).toArray
+    val folds =
+      if (hs.length < n) Seq(windowFold(hs, 0, hs.length))
+      else (0 to hs.length - n).map(w => windowFold(hs, w, w + n))
+    folds.distinct
+  }
   def bandHashes(words: Seq[String], n: Int, rowsPerBand: Int, bands: Int): Array[Long] =
     bandFold(signature(words, n, bands * rowsPerBand), bands, rowsPerBand)
   def simhash32(words: Seq[String]): Long = {
@@ -234,4 +262,48 @@ case class SimHashX(child: Expression) extends WordsArrayExpression {
 object SimHashX {
   import org.apache.spark.sql.graftshim.Bridge.{column, expression}
   def apply(words: Column): Column = column(SimHashX(expression(words)))
+}
+
+/** DISTINCT word n-gram shingle HASHES of a raw `\s+`-split array in one
+  * codegen'd loop: the same mod-2^32 window fold the MinHash family minimizes
+  * over (s0 = 17, s := (s*1000003 + wordHash) mod 2^32), deduplicated in
+  * first-occurrence order. The 8-byte-key counterpart of [[ShingleSetX]] for
+  * operators that JOIN on shingle identity at corpus scale (test-set
+  * decontamination, boilerplate detection): exploding hashes ships fixed
+  * 8-byte keys through the shuffle instead of n-word strings. Semantics
+  * mirror ShingleSetX: empty/null tokens are skipped (the oracles' `w <> ''`
+  * filter); fewer than n words collapse to ONE whole-doc fold (the seed 17
+  * alone for a zero-word doc) — gate queries exclude those docs via the
+  * shared >= 3-words guard, the expression itself stays total. */
+case class ShingleHashesX(child: Expression, n: Int) extends WordsArrayExpression {
+  require(n > 0 && n <= 16, "n must be in (0, 16]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_x"
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = ExpressibleHash.hashesOf(input.asInstanceOf[ArrayData])
+    val m = hashes.length
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < n) {
+      out.add(ExpressibleHash.windowFold(hashes, 0, m))
+    } else {
+      var w = 0
+      while (w <= m - n) {
+        out.add(ExpressibleHash.windowFold(hashes, w, w + n))
+        w += 1
+      }
+    }
+    val res = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { res(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(res)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genViaEval(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData", "null")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashesX {
+  import org.apache.spark.sql.graftshim.Bridge.{column, expression}
+  def apply(words: Column, n: Int): Column = column(ShingleHashesX(expression(words), n))
 }

@@ -31,6 +31,12 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     graft.functions.ShingleSetX(rawWords(text), n)
 
+  /** Distinct word n-gram shingle HASHES (mod-2^32 window folds) in one
+    * codegen'd loop — the 8-byte-key form of [[shingleSet]] for operators
+    * that join on shingle identity at corpus scale. */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.ShingleHashesX(rawWords(text), n)
+
   /** n-gram word shingles: ["a b c", "b c d", …]. */
   def shingles(text: Column, n: Int): Column = {
     val ws = words(text)
@@ -145,6 +151,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
+
+  /**
+   * Test-set DECONTAMINATION: training documents that share any word n-gram
+   * with a benchmark/eval set — the overlap check every pretraining pipeline
+   * runs before training (n-gram collision against held-out benchmarks).
+   * Returns (doc_id, n_shared_grams, n_bench_docs) for contaminated docs.
+   *
+   * Scale shape: benchmarks are tiny next to a training corpus (10^5 vs
+   * 10^12 docs), so the bench gram table is BROADCAST and the train side is
+   * a single map-side scan + explode filtered by the broadcast hash join —
+   * no shuffle of the corpus. Gram keys are 8-byte shingle-fold hashes
+   * ([[shingleHashes]], one codegen'd loop per doc), not n-word strings.
+   * The final per-doc aggregation only sees matched (contaminated) rows;
+   * the two count-distincts expand that small set 2x, which is fine there.
+   */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val bh = bench.select(col(idCol).as("bench_id"),
+      explode(shingleHashes(col(textCol), n)).as("gram"))
+    val th = train.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(col(textCol), n)).as("gram"))
+    th.join(broadcast(bh), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared_grams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+  }
+
+  /**
+   * Boilerplate n-gram detection: word n-grams whose DOCUMENT frequency is
+   * >= minDf — the repeated-span signal used to strip navigation chrome /
+   * license headers from web corpora. Per-doc distinct shingle hashes
+   * (map-side, one codegen'd loop) explode to 8-byte keys, then ONE
+   * uniform-key shuffle with map-side combine; the >= minDf filter runs
+   * post-aggregation on the (tiny) gram-frequency table.
+   * Returns (gram, df, first_doc).
+   */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minDf: Long = 5L): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(shingleHashes(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("first_doc"))
+      .where(col("df") >= minDf)
 
   /** 64-bit SimHash of the word stream: per-bit majority vote of word hashes.
     * Bits are unrolled statically (shift amounts are plan-time constants) so

@@ -304,13 +304,7 @@ object Similarity {
   /** ExpressibleHash.mix32 as Column arithmetic (ANSI-safe: input must be a
     * non-negative id; every intermediate < 2^62). Used for deterministic,
     * SQL-reproducible seed selection and hash-sampling. */
-  private def mix32Col(c: Column): Column = {
-    val m = lit(4294967296L)
-    val h1 = pmod(c.cast(LongType) * lit(1664525L), m)
-    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
-    val h3 = pmod(h2 * lit(747796405L), m)
-    h3.bitwiseXOR(shiftright(h3, 13))
-  }
+  private def mix32Col(c: Column): Column = graft.functions.ExpressibleHash.mix32Col(c)
 
   /**
    * EXACT-INTEGER Lloyd k-means for IVF index cells. Everything happens in

@@ -78,6 +78,16 @@ object TextOps {
     }.otherwise(lit("und"))
   }
 
+  /** Deterministic sampling coin: keep iff mix32(id) % 1000 < permille.
+    * Seedless, partitioning-invariant, and SQL-reproducible (the same
+    * ExpressibleHash.mix32 family the IVF trainer hash-samples with) — the
+    * downsampling decision a web-scale pipeline must be able to replay
+    * bit-identically across runs, engines, and repartitionings. Pure
+    * codegen'd column arithmetic; `permille` may itself be a column
+    * (per-language / per-source rates for stratified mixing). */
+  def keepSample(id: Column, permille: Column): Column =
+    pmod(graft.functions.ExpressibleHash.mix32Col(id), lit(1000L)) < permille
+
   /** Document fingerprint: position-weighted rolling hash over words —
     * order-sensitive (unlike a bag-of-words hash), cheap, exact-integer. */
   def fingerprint(text: Column): Column =

@@ -109,9 +109,69 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingle hashes: distinct window folds match the driver-side reference") {
+    import graft.functions.ExpressibleHash
+    val text = "the quick brown fox jumps over the lazy dog"
+    val got = Seq((1L, text)).toDF("id", "text")
+      .select(Dedup.shingleHashes(col("text"), 3)).head().getSeq[Long](0)
+    val want = ExpressibleHash.shingleHashes(text.split("\\s+").toSeq, 3)
+    assert(got === want)
+    // short doc collapses to ONE whole-doc fold (ShingleSetX parity)
+    val short = Seq((1L, "one two")).toDF("id", "text")
+      .select(Dedup.shingleHashes(col("text"), 3)).head().getSeq[Long](0)
+    assert(short === ExpressibleHash.shingleHashes(Seq("one", "two"), 3))
+    assert(short.length === 1)
+  }
+
+  test("decontaminate flags exactly the overlapping train docs; bench side broadcast") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma something else entirely"), // shares "alpha beta gamma"
+      (2L, "no overlap with held out content here"),
+      (3L, "x y beta gamma delta z")                    // shares "beta gamma delta"
+    ).toDF("id", "text")
+    val res = Dedup.decontaminate(train, bench, "id", "text", 3)
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, 1L, 1L), (3L, 1L, 1L)))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("lambdafunction"), plan.take(2000))
+  }
+
+  test("boilerplateGrams finds the shared trigrams with their document frequency") {
+    val docs2 = (1L to 6L).map(i => (i, s"unsubscribe from this newsletter now item$i"))
+      .toDF("id", "text")
+    // the 4-word shared prefix contributes 3 trigrams present in all 6 docs;
+    // the itemN trigram is unique per doc and must fall below minDf
+    val r = Dedup.boilerplateGrams(docs2, "id", "text", n = 3, minDf = 6L).collect()
+    assert(r.length === 3)
+    r.foreach { row => assert(row.getLong(1) === 6L && row.getLong(2) === 1L) }
+  }
+}
+
 class TextOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("keepSample: deterministic mix32 coin, partitioning-invariant") {
+    import graft.functions.ExpressibleHash
+    val n = 2000L
+    val df = spark.range(n).select(col("id"))
+    val kept = df.where(TextOps.keepSample(col("id"), lit(250L)))
+      .collect().map(_.getLong(0)).toSet
+    val want = (0L until n).filter(i => ExpressibleHash.mix32(i) % 1000L < 250L).toSet
+    assert(kept === want)
+    // the kept SET is invariant under repartitioning (no seed, no rand())
+    val kept2 = df.repartition(7).where(TextOps.keepSample(col("id"), lit(250L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 === kept)
+    // the mix decorrelates id from coin: the realized rate lands near 25%
+    assert(math.abs(kept.size.toDouble / n - 0.25) < 0.05, kept.size)
+  }
 
   test("token/subword/punct counting") {
     val df = Seq(("hello world, 42 times!", 1)).toDF("text", "id")
