@@ -912,6 +912,35 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "t_repetition" -> ((spark, dir) => {
+      // Gopher-style repetitive-text signal: per-doc trigram window counts
+      // (total / distinct / max multiplicity) in ONE codegen'd loop — pure
+      // map-side, no explode; a doc whose top gram covers many windows is
+      // degenerate boilerplate
+      implicit val s: SparkSession = spark
+      docs3Plus(dir).where(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.repetitionStats(col("text"), 3).as("rs"))
+        .select(col("doc_id"),
+          col("rs").getItem(0).as("total_grams"),
+          col("rs").getItem(1).as("distinct_grams"),
+          col("rs").getItem(2).as("max_gram_count"))
+        .orderBy("doc_id")
+    }),
+
+    "v_source_quality" -> ((spark, dir) => {
+      // source-level curation verdict: integer quality signals aggregated
+      // per source (domain-level filtering) — one partial+final hash agg;
+      // the flag threshold is exact-integer (punct*20 > bytes)
+      implicit val s: SparkSession = spark
+      t(dir, "documents").groupBy("source").agg(
+          count(lit(1)).cast(LongType).as("docs"),
+          sum(TextOps.tokenCount(col("text"))).cast(LongType).as("tokens"),
+          sum(TextOps.punctCount(col("text"))).cast(LongType).as("punct"),
+          sum(octet_length(col("text"))).cast(LongType).as("bytes"))
+        .withColumn("flagged", when(col("punct") * 20L > col("bytes"), 1L).otherwise(0L))
+        .orderBy("source")
+    }),
+
     "t_fingerprint" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       val ws = split(lower(col("text")), "\\s+")
@@ -1722,6 +1751,39 @@ object SparkEntry {
         |  CAST(sum(i * (strlen(words[i]) * 31 + ascii(substring(words[i], 1, 1)))) AS BIGINT) AS fp
         |FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // repetition stats: per-window trigram folds re-derived WITH
+    // multiplicity (the 3-way positional join emits one row per window)
+    "t_repetition" ->
+      s"""WITH dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents WHERE doc_id < 200) WHERE len(words) >= 3),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |$whChainSql,
+        |sh AS (SELECT a.doc_id,
+        |         (((((17*1000003 + a.wh) % 4294967296) * 1000003 + b.wh) % 4294967296)
+        |            * 1000003 + c.wh) % 4294967296 AS gram
+        |       FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |                 JOIN wh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |pc AS (SELECT doc_id, gram, count(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_grams,
+        |       CAST(count(*) AS BIGINT) AS distinct_grams,
+        |       CAST(max(c) AS BIGINT) AS max_gram_count
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // source-level quality verdict: exact-integer signals and flag
+    "v_source_quality" ->
+      """WITH s AS (SELECT source, count(*) AS docs,
+        |        sum(len(regexp_extract_all(text, '\S+'))) AS tokens,
+        |        sum(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS punct,
+        |        sum(strlen(text)) AS bytes
+        |      FROM documents GROUP BY source)
+        |SELECT source, CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens,
+        |       CAST(punct AS BIGINT) AS punct, CAST(bytes AS BIGINT) AS bytes,
+        |       CAST(CASE WHEN punct*20 > bytes THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM s ORDER BY source""".stripMargin,
 
     // deterministic stratified sampling: the mix32 coin re-derived from
     // doc_id, per-language keep rates, and the kept-id sum pinning the

@@ -307,3 +307,43 @@ object ShingleHashesX {
   import org.apache.spark.sql.graftshim.Bridge.{column, expression}
   def apply(words: Column, n: Int): Column = column(ShingleHashesX(expression(words), n))
 }
+
+/** Intra-document REPETITION statistics over word n-gram windows in one
+  * codegen'd loop: [total_windows, distinct_windows, max_window_count] —
+  * the Gopher-style repetitive-text quality signal (a doc whose most
+  * frequent n-gram covers a large fraction of its windows is degenerate
+  * boilerplate/spam). Window hashes are the same mod-2^32 folds as
+  * [[ShingleHashesX]], counted WITH multiplicity; short docs collapse to
+  * the single whole-doc fold ([1,1,1]). */
+case class RepetitionStatsX(child: Expression, n: Int) extends WordsArrayExpression {
+  require(n > 0 && n <= 16, "n must be in (0, 16]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats_x"
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = ExpressibleHash.hashesOf(input.asInstanceOf[ArrayData])
+    val m = hashes.length
+    val counts = new java.util.HashMap[java.lang.Long, Integer]()
+    var total = 0L
+    def add(fold: Long): Unit = {
+      counts.merge(fold, Integer.valueOf(1), (a, b) => Integer.valueOf(a.intValue + b.intValue))
+      total += 1
+    }
+    if (m < n) add(ExpressibleHash.windowFold(hashes, 0, m))
+    else {
+      var w = 0
+      while (w <= m - n) { add(ExpressibleHash.windowFold(hashes, w, w + n)); w += 1 }
+    }
+    var maxC = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().intValue; if (c > maxC) maxC = c }
+    new GenericArrayData(Array(total, counts.size.toLong, maxC.toLong))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genViaEval(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData", "null")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RepetitionStatsX {
+  import org.apache.spark.sql.graftshim.Bridge.{column, expression}
+  def apply(words: Column, n: Int): Column = column(RepetitionStatsX(expression(words), n))
+}

@@ -78,6 +78,14 @@ object TextOps {
     }.otherwise(lit("und"))
   }
 
+  /** Intra-document repetition stats [total_windows, distinct_windows,
+    * max_window_count] over word n-gram windows — one codegen'd loop
+    * (RepetitionStatsX); the repetitive-text signal (Gopher-style duplicate
+    * n-gram fraction) for dropping degenerate boilerplate/spam docs. Pure
+    * map-side: no explode, no shuffle. */
+  def repetitionStats(text: Column, n: Int): Column =
+    graft.functions.RepetitionStatsX(Dedup.rawWords(text), n)
+
   /** Deterministic sampling coin: keep iff mix32(id) % 1000 < permille.
     * Seedless, partitioning-invariant, and SQL-reproducible (the same
     * ExpressibleHash.mix32 family the IVF trainer hash-samples with) — the

@@ -173,6 +173,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(kept.size.toDouble / n - 0.25) < 0.05, kept.size)
   }
 
+  test("repetitionStats counts trigram windows with multiplicity") {
+    val rows = Seq(
+      (1L, "spam spam spam spam spam"),          // 3 windows, all the SAME gram
+      (2L, "one two three four five"),           // 3 windows, all distinct
+      (3L, "a b")                                // short doc: single whole-doc fold
+    ).toDF("id", "text")
+      .select(col("id"), TextOps.repetitionStats(col("text"), 3).as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L) === Seq(3L, 1L, 3L))
+    assert(rows(2L) === Seq(3L, 3L, 1L))
+    assert(rows(3L) === Seq(1L, 1L, 1L))
+  }
+
   test("token/subword/punct counting") {
     val df = Seq(("hello world, 42 times!", 1)).toDF("text", "id")
     val r = df.select(

@@ -178,7 +178,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // lambda and the shingle join-back carried slice/concat_ws transforms —
     // all replaced by compiled loops inside the custom expressions
     for (q <- Seq("d_neardup_lsh", "d_minhash_stats", "d_simhash", "d_jaccard_pairs",
-        "d_decontaminate", "d_boilerplate", "t_sample_stratified")) {
+        "d_decontaminate", "d_boilerplate", "t_sample_stratified", "t_repetition",
+        "v_source_quality")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("lambdafunction"), s"$q plan has a HOF: ${plan.take(2000)}")
     }

@@ -144,6 +144,36 @@ class PropertySpec extends AnyFunSuite {
       assert(expressible.nonEmpty, s"seed=$seed produced no planted candidates")
     }
   }
+
+  test("shingle-family expressions agree: hashes, sets, and repetition stats") {
+    // ShingleHashesX (distinct folds), ShingleSetX (distinct strings), and
+    // RepetitionStatsX (counts with multiplicity) are three views of the
+    // SAME window decomposition — on random word arrays the distinct counts
+    // must coincide and the stats must be internally consistent.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, split}
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e") // small vocab forces repeats
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 60L).map { i =>
+      val m = 1 + rnd.nextInt(12)
+      (i, Vector.fill(m)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    val ws = split(col("text"), "\\s+")
+    val rows = docs.select(col("id"), col("text"),
+        graft.functions.ShingleHashesX(ws, 3).as("h"),
+        graft.functions.ShingleSetX(ws, 3).as("s"),
+        graft.functions.RepetitionStatsX(ws, 3).as("r"))
+      .collect()
+    rows.foreach { r =>
+      val m = r.getString(1).split("\\s+").length
+      val h = r.getSeq[Long](2); val s = r.getSeq[String](3); val st = r.getSeq[Long](4)
+      assert(h.length === s.length, s"id=${r.getLong(0)}")       // same distinct windows
+      assert(st(1) === h.length.toLong, s"id=${r.getLong(0)}")   // distinct_grams agrees
+      assert(st(0) === math.max(m - 2, 1).toLong, s"id=${r.getLong(0)}") // total = windows
+      assert(st(2) >= 1L && st(2) <= st(0), s"id=${r.getLong(0)}")
+    }
+  }
 }
 
 /** UTF-8 byte-length semantics: jsonb string length = BYTES, not chars
