@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
 import graft.pipeline.TableChecks
 import graft.rules.SuiteCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -418,6 +418,46 @@ object SparkEntry {
 
     "v_orc_source" -> ((spark, dir) => stagedEventsAgg(spark, dir, "orc")),
 
+    "q_asof_purchase" -> ((spark, dir) => {
+      // AS-OF JOIN (operator Spark lacks): each click joined to the user's
+      // most recent purchase at-or-before it. Union + carry-forward window
+      // (Relational.asofJoin): ONE shuffle of |clicks|+|purchases| rows,
+      // linear per key — never the quadratic inequality-join plan. The
+      // oracle is DuckDB's NATIVE ASOF LEFT JOIN, an independent
+      // implementation of the same semantics.
+      implicit val s: SparkSession = spark
+      val ev = t(dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          round(col("value") * 100).cast(LongType).as("pcents"))
+      Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts", "pts", Seq("pcents"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("click_epoch"),
+          coalesce(col("asof_pcents"), lit(-1L)).cast(LongType).as("last_purchase_cents"))
+        .orderBy("event_id")
+    }),
+
+    "q_sessions" -> ((spark, dir) => {
+      // gap-based SESSIONIZATION: Spark's session_window (dynamic-gap merge
+      // inside the aggregation — one shuffle by user) vs the classic
+      // gaps-and-islands SQL in DuckDB: lag >= gap starts an island,
+      // cumulative sum labels it. Boundary semantics pinned: a gap of
+      // EXACTLY 4h starts a new session (window is [start, last+gap));
+      // session_end = last event + gap in both engines.
+      implicit val s: SparkSession = spark
+      t(dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(round(col("value") * 100).cast(LongType)).cast(LongType).as("cents"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          unix_timestamp(col("w.end")).as("session_end"),
+          col("n"), col("cents"))
+        .orderBy("user_id", "session_start")
+    }),
+
     "q_events_hourly" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       t(dir, "events")
@@ -476,6 +516,42 @@ object SparkEntry {
       }
       runOnce(); runOnce()
       spark.read.parquet(outDir).orderBy("hour_epoch", "event_type")
+    }),
+
+    "e_stream_sessions" -> ((spark, dir) => {
+      // streaming SESSIONIZATION in the scale shape: session_window +
+      // watermark in APPEND mode — state holds OPEN sessions only;
+      // finalized sessions (end <= watermark) are emitted to the file sink
+      // and evicted. Same restart-on-checkpoint flush as e_stream_sink
+      // (AvailableNow stops before the no-data watermark batch; run 2
+      // reloads the persisted watermark and emits the finalized sessions).
+      // Oracle = the q_sessions gaps-and-islands SQL filtered to sessions
+      // the watermark finalized — batch/stream parity for MERGING windows,
+      // not just tumbling ones.
+      implicit val s: SparkSession = spark
+      val schema = t(dir, "events").schema
+      val staged = stageEvents(dir)
+      val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sess-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-sess-ckpt").toString
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(staged)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            sum(round(col("value") * 100).cast(LongType)).cast(LongType).as("cents"))
+          .select(col("user_id"),
+            unix_timestamp(col("w.start")).as("session_start"),
+            unix_timestamp(col("w.end")).as("session_end"),
+            col("n"), col("cents"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(outDir)
+        q.processAllAvailable(); q.stop()
+      }
+      runOnce(); runOnce()
+      spark.read.parquet(outDir).orderBy("user_id", "session_start")
     }),
 
     "e_stream_dedup" -> ((spark, dir) => {
@@ -1532,6 +1608,62 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the streaming form: q_sessions' islands filtered to the sessions the
+    // 1h watermark finalized (end + gap at-or-below the ms-floored
+    // watermark, replicating Spark's event-time precision)
+    "e_stream_sessions" ->
+      """WITH m AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '1 hour' AS wm
+        |           FROM events),
+        |e AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= INTERVAL '4 hours'
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+        |g AS (SELECT user_id, min(ts) AS st, max(ts) AS en, count(*) AS n,
+        |        sum(CAST(round(value*100) AS BIGINT)) AS cents
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', st)) AS BIGINT) AS session_start,
+        |  CAST(epoch(date_trunc('second', en + INTERVAL '4 hours')) AS BIGINT) AS session_end,
+        |  CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS cents
+        |FROM g, m WHERE en + INTERVAL '4 hours' <= wm
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // gaps-and-islands sessionization: an independent formulation of
+    // session_window's merge semantics (>= gap starts a new island)
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= INTERVAL '4 hours'
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
+        |  CAST(epoch(date_trunc('second', max(ts) + INTERVAL '4 hours')) AS BIGINT) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // the oracle is DuckDB's NATIVE asof join — an independent engine's
+    // implementation of the operator, not a re-derivation of ours
+    "q_asof_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, CAST(round(value*100) AS BIGINT) AS pcents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |       CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_epoch,
+        |       CAST(COALESCE(p.pcents, -1) AS BIGINT) AS last_purchase_cents
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

@@ -109,6 +109,46 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.ops.Relational
+
+  private def quotes = Seq( // (key, ts, px)
+    ("A", 10L, 100L), ("A", 20L, 110L), ("A", 30L, 120L),
+    ("B", 15L, 500L)
+  ).toDF("sym", "qts", "px")
+  private def trades = Seq( // (key, ts, qty)
+    ("A", 5L, 1L),   // before any quote -> NULL
+    ("A", 20L, 2L),  // same-instant quote IS visible (inclusive <=)
+    ("A", 25L, 3L),  // latest quote at 20
+    ("A", 99L, 4L),  // latest quote at 30
+    ("B", 14L, 5L),  // before B's only quote -> NULL
+    ("C", 50L, 6L)   // key with no quotes at all -> NULL
+  ).toDF("sym", "tts", "qty")
+
+  test("asofJoin carries the latest right value at-or-before each left row") {
+    val out = Relational.asofJoin(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+    val got = out.select("sym", "tts", "qty", "asof_px").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set(
+      ("A", 5L, 1L, -1L), ("A", 20L, 2L, 110L), ("A", 25L, 3L, 110L),
+      ("A", 99L, 4L, 120L), ("B", 14L, 5L, -1L), ("C", 50L, 6L, -1L)))
+    // every left row survives exactly once (left-outer semantics)
+    assert(out.count() === 6)
+  }
+
+  test("asofJoin plan is union + ONE window shuffle — no nested-loop join") {
+    val out = Relational.asofJoin(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+}
+
 class DecontaminateSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
