@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Packing, Relational, Similarity, TextOps}
 import graft.pipeline.TableChecks
 import graft.rules.SuiteCompiler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -456,6 +456,41 @@ object SparkEntry {
           unix_timestamp(col("w.end")).as("session_end"),
           col("n"), col("cents"))
         .orderBy("user_id", "session_start")
+    }),
+
+    "q_range_join" -> ((spark, dir) => {
+      // RANGE JOIN (operator Spark lacks): clicks within 2h at-or-after a
+      // purchase by the same user, on the floored-seconds domain. Bucketed
+      // shape (Relational.rangeJoin): each interval explodes to its covered
+      // buckets, each point to ONE bucket, then a single equi-join with the
+      // exact predicate as join filter — never the nested-loop plan Spark
+      // picks for a raw inequality join. Oracle = DuckDB's native
+      // inequality join (its IEJoin), an independent implementation.
+      implicit val s: SparkSession = spark
+      val ev = t(dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("click_epoch"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("p_start"),
+          (unix_timestamp(col("ts")) + 7200L).as("p_end"),
+          round(col("value") * 100).cast(LongType).as("pcents"))
+      Relational.rangeJoin(clicks, purchases, Seq("user_id"),
+          "click_epoch", "p_start", "p_end", bucketWidth = 7200L)
+        .select(col("event_id"), col("user_id"), col("click_epoch"),
+          col("p_start").as("purchase_epoch"), col("pcents"))
+        .orderBy("event_id", "purchase_epoch", "pcents")
+    }),
+
+    "t_pack_sequences" -> ((spark, dir) => {
+      // sequence packing: greedy fixed-capacity chunking per source in
+      // doc_id order (Packing.packSequences — one shuffle by source, one
+      // streamed pass per group). The oracle replays the same greedy walk
+      // as a recursive CTE, so every doc's (chunk_id, offset) is pinned,
+      // not just chunk counts.
+      implicit val s: SparkSession = spark
+      Packing.packSequences(t(dir, "documents"), capacity = 1000L)
+        .toDF().orderBy("source", "doc_id")
     }),
 
     "q_events_hourly" -> ((spark, dir) => {
@@ -1664,6 +1699,43 @@ object SparkEntry {
         |       CAST(COALESCE(p.pcents, -1) AS BIGINT) AS last_purchase_cents
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
         |ORDER BY c.event_id""".stripMargin,
+
+    // native inequality join on the same floored-seconds domain
+    "q_range_join" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS click_epoch
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id,
+        |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purchase_epoch,
+        |        CAST(round(value*100) AS BIGINT) AS pcents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.click_epoch, p.purchase_epoch, p.pcents
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |             AND c.click_epoch >= p.purchase_epoch
+        |             AND c.click_epoch < p.purchase_epoch + 7200
+        |ORDER BY c.event_id, p.purchase_epoch, p.pcents""".stripMargin,
+
+    // the recursive CTE replays the greedy walk doc-by-doc per source:
+    // overflow (cur + len > cap) closes the chunk; offset = cur - len
+    "t_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_chars, rn, CAST(0 AS BIGINT) AS chunk_id,
+        |         n_chars AS cur
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n_chars, d.rn,
+        |         CASE WHEN p.cur + d.n_chars > 1000 THEN p.chunk_id + 1
+        |              ELSE p.chunk_id END,
+        |         CASE WHEN p.cur + d.n_chars > 1000 THEN d.n_chars
+        |              ELSE p.cur + d.n_chars END
+        |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(cur - n_chars AS BIGINT) AS offset_chars
+        |FROM p ORDER BY source, doc_id""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

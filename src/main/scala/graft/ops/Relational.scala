@@ -69,4 +69,49 @@ object Relational {
       .withColumnRenamed("__ts", leftTs)
       .drop("__side")
   }
+
+  /**
+   * RANGE (point-in-interval) JOIN: every (point, interval) pair with equal
+   * keys and `start <= pt < end`. Spark plans the naive inequality join as a
+   * BroadcastNestedLoopJoin — O(|P|·|I|) per key. This is the BUCKETED
+   * shape instead:
+   *
+   *   1. explode each interval to the buckets it covers
+   *      (`floor(start/B) .. floor((end-1)/B)` — end exclusive);
+   *   2. assign each point its single bucket `floor(pt/B)`;
+   *   3. ONE equi-join on (keys, bucket) with the exact range predicate as
+   *      the join filter.
+   *
+   * Each qualifying pair matches in exactly one bucket (the point's), so no
+   * dedup pass is needed. Cost: a shuffle of |P| + |I|·(len/B + 1) rows and
+   * a hash/sort-merge join — never a nested loop. Pick `bucketWidth` near
+   * the TYPICAL interval length: too small multiplies the exploded interval
+   * rows, too large packs unrelated rows into one bucket (the filter stays
+   * correct either way). Empty/negative intervals (end <= start) match
+   * nothing and are dropped before the explode.
+   *
+   * Point/start/end columns must be integer-valued (e.g. epoch seconds)
+   * with |v| < 2^53 (bucket ids go through an exact floor-divide).
+   *
+   * @return inner join: all point columns + the interval's non-key columns
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                ptCol: String, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet.diff(keyCols.toSet)) - startCol - endCol
+    require(overlap.isEmpty, s"non-key column collision: $overlap — alias before joining")
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "inputs may not contain the reserved column __b")
+
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__b", explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - lit(1)))))
+    val pt = points.withColumn("__b", bucketOf(col(ptCol)))
+    pt.join(iv, keyCols :+ "__b", "inner")
+      .where(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__b")
+  }
 }

@@ -147,6 +147,68 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(plan.contains("Window"), plan.take(2000))
   }
+
+  private def intervals = Seq( // (key, start, end, tag) — end exclusive
+    ("A", 10L, 30L, "i1"),   // spans buckets 1..2 at width 10
+    ("A", 25L, 26L, "i2"),   // 1-unit interval inside one bucket
+    ("A", 40L, 40L, "i0"),   // empty interval — matches nothing
+    ("B", 0L, 100L, "i3")    // long interval, many buckets
+  ).toDF("k", "s", "e", "tag")
+  private def points = Seq(
+    ("A", 10L, "p1"),  // == start: inclusive
+    ("A", 25L, "p2"),  // inside i1 AND i2 -> two rows
+    ("A", 30L, "p3"),  // == end: exclusive, no match
+    ("A", 40L, "p4"),  // empty interval matches nothing
+    ("B", 99L, "p5"),  // last instant of i3
+    ("C", 50L, "p6")   // no intervals for key
+  ).toDF("k", "pt", "pid")
+
+  test("rangeJoin matches start-inclusive end-exclusive, once per pair") {
+    val out = Relational.rangeJoin(points, intervals, Seq("k"), "pt", "s", "e", bucketWidth = 10L)
+    val got = out.select("pid", "tag").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("p1", "i1"), ("p2", "i1"), ("p2", "i2"), ("p5", "i3")))
+    assert(out.count() === 4) // each qualifying pair exactly once (single-bucket match)
+  }
+
+  test("rangeJoin result is bucket-width-invariant and never a nested loop") {
+    val w10 = Relational.rangeJoin(points, intervals, Seq("k"), "pt", "s", "e", 10L)
+    val w3  = Relational.rangeJoin(points, intervals, Seq("k"), "pt", "s", "e", 3L)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("pid", "tag").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(key(w10) === key(w3))
+    w10.collect()
+    val plan = w10.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+}
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.ops.Packing
+
+  private def docs = Seq( // (source, doc_id, n_chars)
+    ("s1", 1L, 400L), ("s1", 2L, 500L), ("s1", 3L, 200L),  // 400+500 fits 1000; +200 overflows
+    ("s1", 4L, 1500L),                                      // oversize: alone, chunk overflows
+    ("s1", 5L, 10L),
+    ("s2", 9L, 1000L), ("s2", 10L, 1L)                      // exact fit closes the chunk
+  ).toDF("source", "doc_id", "n_chars")
+
+  test("packSequences assigns greedy chunks and offsets in doc_id order") {
+    val got = Packing.packSequences(docs, capacity = 1000L)
+      .collect().map(p => (p.source, p.doc_id, p.chunk_id, p.offset_chars)).toSet
+    assert(got === Set(
+      ("s1", 1L, 0L, 0L), ("s1", 2L, 0L, 400L), ("s1", 3L, 1L, 0L),
+      ("s1", 4L, 2L, 0L), ("s1", 5L, 3L, 0L),
+      ("s2", 9L, 0L, 0L), ("s2", 10L, 1L, 0L)))
+  }
+
+  test("packSequences is partitioning-invariant") {
+    val base = Packing.packSequences(docs, 1000L).collect().toSet
+    val shuffled = Packing.packSequences(docs.repartition(7, $"doc_id"), 1000L).collect().toSet
+    assert(shuffled === base)
+  }
 }
 
 class DecontaminateSpec extends AnyFunSuite {
