@@ -211,6 +211,80 @@ class PackingSpec extends AnyFunSuite {
   }
 }
 
+/** Randomized agreement with brute-force references: the operators'
+  * single-shuffle plans must equal the O(n^2) definition on seeded random
+  * data — guards the bucket/carry-forward algebra beyond the fixed fixtures. */
+class RelationalRandomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.ops.{Packing, Relational}
+
+  for (seed <- Seq(1, 2, 3)) {
+    test(s"asofJoin agrees with the brute-force definition (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      // right rows unique per (key, ts) — the operator's documented contract
+      val right = rnd.shuffle((0 to 5).flatMap(k => (0 to 100).map(t => (k, t)))).take(60)
+        .map { case (k, t) => (k.toLong, t.toLong, rnd.nextInt(1000).toLong) }
+      val left = Seq.fill(120)((rnd.nextInt(6).toLong, rnd.nextInt(110).toLong, rnd.nextLong(1L << 40)))
+      val want = left.map { case (k, t, id) =>
+        val m = right.filter(r => r._1 == k && r._2 <= t)
+        (id, if (m.isEmpty) -1L else m.maxBy(_._2)._3)
+      }.toSet
+      val got = Relational.asofJoin(
+          left.toDF("k", "lts", "lid"), right.toDF("k", "rts", "v"),
+          Seq("k"), "lts", "rts", Seq("v"))
+        .select(col("lid"), coalesce(col("asof_v"), lit(-1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+    }
+
+    test(s"rangeJoin agrees with the brute-force definition (seed $seed)") {
+      val rnd = new scala.util.Random(seed + 100)
+      val ivs = Seq.tabulate(50) { i =>
+        val s = rnd.nextInt(100).toLong
+        (rnd.nextInt(6).toLong, s, s + rnd.nextInt(30) - 2, i.toLong) // some empty/negative
+      }
+      val pts = Seq.tabulate(120)(i => (rnd.nextInt(6).toLong, rnd.nextInt(110).toLong, i.toLong))
+      val want = (for {
+        (pk, p, pid) <- pts; (ik, s, e, iid) <- ivs
+        if pk == ik && p >= s && p < e
+      } yield (pid, iid)).toSet
+      val got = Relational.rangeJoin(
+          pts.toDF("k", "pt", "pid"), ivs.toDF("k", "s", "e", "iid"),
+          Seq("k"), "pt", "s", "e", bucketWidth = 7L)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+    }
+
+    test(s"packSequences invariants hold on random docs (seed $seed)") {
+      val rnd = new scala.util.Random(seed + 200)
+      val cap = 500L
+      val docs = Seq.tabulate(200)(i =>
+        (s"s${rnd.nextInt(4)}", i.toLong, (rnd.nextInt(700) + 1).toLong))
+      val byId = docs.map(d => d._2 -> d._3).toMap
+      val packed = Packing.packSequences(docs.toDF("source", "doc_id", "n_chars"), cap)
+        .collect().groupBy(_.source)
+      assert(packed.values.map(_.length).sum === docs.size)
+      packed.foreach { case (_, ds) =>
+        val inOrder = ds.sortBy(_.doc_id)
+        // chunk ids dense and nondecreasing in doc order, starting at 0
+        assert(inOrder.head.chunk_id === 0L && inOrder.head.offset_chars === 0L)
+        inOrder.sliding(2).foreach { case Array(a, b) =>
+          val lenA = byId(a.doc_id)
+          if (b.chunk_id == a.chunk_id) {
+            assert(b.offset_chars === a.offset_chars + lenA) // contiguous
+            assert(b.offset_chars + byId(b.doc_id) <= cap)   // fits
+          } else {
+            assert(b.chunk_id === a.chunk_id + 1 && b.offset_chars === 0L)
+            assert(a.offset_chars + lenA + byId(b.doc_id) > cap) // overflow was forced
+          }
+        case _ => ()
+        }
+      }
+    }
+  }
+}
+
 class DecontaminateSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
