@@ -493,6 +493,84 @@ object SparkEntry {
         .toDF().orderBy("source", "doc_id")
     }),
 
+    "t_pack_chunks" -> ((spark, dir) => {
+      // the assembled chunks themselves: same greedy boundaries as
+      // t_pack_sequences, text joined by U+001E in doc_id order, built
+      // lazily inside the streamed group pass (memory = ONE chunk). The
+      // oracle assigns chunks with the recursive CTE and assembles with
+      // ordered string_agg — byte-equality on the packed text.
+      implicit val s: SparkSession = spark
+      Packing.packChunks(t(dir, "documents"), capacity = 1000L, sep = "\u001e")
+        .toDF().orderBy("source", "chunk_id")
+    }),
+
+    "e_stream_range_join" -> ((spark, dir) => {
+      // STREAM-STREAM interval join: the clicks STREAM joined to the
+      // purchases STREAM on user_id with an event-time range condition.
+      // Both sides carry watermarks — exactly what lets Spark EVICT join
+      // state (a buffered purchase is droppable once the click watermark
+      // passes purchase_ts + 2h); an unwatermarked stream-stream join
+      // would buffer both streams forever. Inner join in append mode emits
+      // each match in the batch it occurs, so one AvailableNow pass over
+      // the corpus equals the batch inequality join — which the DuckDB
+      // IEJoin oracle reproduces independently on the raw-microsecond
+      // domain.
+      implicit val s: SparkSession = spark
+      val schema = t(dir, "events").schema
+      val staged = stageEvents(dir)
+      def side(typ: String) = spark.readStream.schema(schema).parquet(staged)
+        .where(col("event_type") === typ)
+        .withColumn("ts", col("ts").cast(TimestampType))
+      val clicks = side("click")
+        .select(col("event_id"), col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val purchases = side("purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"),
+          round(col("value") * 100).cast(LongType).as("pcents"))
+        .withWatermark("pts", "1 hour")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-stream-rj-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-rj-ckpt").toString
+      val q = clicks.join(purchases,
+          col("cu") === col("pu") && col("cts") >= col("pts") &&
+            col("cts") < col("pts") + expr("INTERVAL 2 HOURS"))
+        .select(col("event_id"), col("cu").as("user_id"),
+          unix_timestamp(col("cts")).as("click_epoch"),
+          unix_timestamp(col("pts")).as("purchase_epoch"), col("pcents"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(outDir)
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(outDir)
+        .orderBy("event_id", "purchase_epoch", "pcents")
+    }),
+
+    "e_stream_enrich" -> ((spark, dir) => {
+      // STREAM-STATIC enrichment: the events stream joined to a small
+      // static dimension (nation) — stateless, no watermark needed, and
+      // the static side is BROADCAST into every micro-batch (the standard
+      // dimension-lookup shape at any stream rate). Oracle = the plain
+      // batch join.
+      implicit val s: SparkSession = spark
+      val schema = t(dir, "events").schema
+      val staged = stageEvents(dir)
+      val dim = broadcast(t(dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val outDir = java.nio.file.Files.createTempDirectory("graft-stream-en-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-en-ckpt").toString
+      val q = spark.readStream.schema(schema).parquet(staged)
+        .where(col("event_type") === "purchase")
+        .join(dim, pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+        .select(col("event_id"), col("user_id"), col("n_name"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(outDir)
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(outDir).orderBy("event_id")
+    }),
+
     "q_events_hourly" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       t(dir, "events")
@@ -1714,6 +1792,52 @@ object SparkEntry {
         |             AND c.click_epoch >= p.purchase_epoch
         |             AND c.click_epoch < p.purchase_epoch + 7200
         |ORDER BY c.event_id, p.purchase_epoch, p.pcents""".stripMargin,
+
+    // same chunk assignment as t_pack_sequences, then ordered string_agg
+    // assembles each chunk — byte-equality on the packed text
+    "t_pack_chunks" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, n_chars, text,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_chars, text, rn, CAST(0 AS BIGINT) AS chunk_id,
+        |         n_chars AS cur
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n_chars, d.text, d.rn,
+        |         CASE WHEN p.cur + d.n_chars > 1000 THEN p.chunk_id + 1
+        |              ELSE p.chunk_id END,
+        |         CASE WHEN p.cur + d.n_chars > 1000 THEN d.n_chars
+        |              ELSE p.cur + d.n_chars END
+        |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       string_agg(text, chr(30) ORDER BY doc_id) AS text
+        |FROM p GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin,
+
+    // stream-stream interval join == batch inequality join once the whole
+    // corpus has streamed through (inner join, append mode): native IEJoin
+    // on the raw-microsecond domain, epochs floored only in the output
+    "e_stream_range_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, CAST(round(value*100) AS BIGINT) AS pcents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |       CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_epoch,
+        |       CAST(epoch(date_trunc('second', p.pts)) AS BIGINT) AS purchase_epoch,
+        |       p.pcents
+        |FROM c JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+        |              AND c.ts < p.pts + INTERVAL '2 hours'
+        |ORDER BY c.event_id, purchase_epoch, pcents""".stripMargin,
+
+    // stream-static enrichment == the plain batch dimension join
+    "e_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, n.n_name,
+        |       CAST(round(e.value*100) AS BIGINT) AS cents
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
 
     // the recursive CTE replays the greedy walk doc-by-doc per source:
     // overflow (cur + len > cap) closes the chunk; offset = cur - len

@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 final case class PackedDoc(source: String, doc_id: Long, chunk_id: Long,
                            offset_chars: Long)
 
+/** One assembled training chunk. */
+final case class PackedChunk(source: String, chunk_id: Long, n_docs: Long,
+                             n_chars: Long, text: String)
+
 /**
  * SEQUENCE PACKING for training pipelines: concatenate documents, in a
  * deterministic order, into fixed-capacity training chunks — the step that
@@ -49,6 +53,44 @@ object Packing {
           val off = filled
           filled += len
           PackedDoc(src, id, chunk, off)
+        }
+      }
+  }
+
+  /** Assemble the packed chunks themselves: same greedy walk as
+    * [[packSequences]] (same boundaries — capacity counts the docs'
+    * `n_chars`, not the separators), emitting one row per chunk with the
+    * docs' text joined by `sep` in doc_id order. The chunk is built lazily
+    * inside the group's streamed iterator, so memory is bounded by ONE
+    * chunk (~capacity chars), never the group. */
+  def packChunks(docs: DataFrame, capacity: Long,
+                 sep: String = "\u001e"): Dataset[PackedChunk] = {
+    require(capacity > 0, "capacity must be positive")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("text"))
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id").asc) { (src, it0) =>
+        new Iterator[PackedChunk] {
+          private val it = it0.buffered
+          private var chunk = -1L
+          override def hasNext: Boolean = it.hasNext
+          override def next(): PackedChunk = {
+            chunk += 1
+            val sb = new java.lang.StringBuilder
+            var filled = 0L; var n = 0L
+            var open = true
+            while (open && it.hasNext) {
+              val len = it.head._3
+              if (n == 0L || filled + len <= capacity) {
+                if (n > 0L) sb.append(sep)
+                sb.append(it.head._4); filled += len; n += 1; it.next()
+              } else open = false
+            }
+            PackedChunk(src, chunk, n, filled, sb.toString)
+          }
         }
       }
   }

@@ -209,6 +209,22 @@ class PackingSpec extends AnyFunSuite {
     val shuffled = Packing.packSequences(docs.repartition(7, $"doc_id"), 1000L).collect().toSet
     assert(shuffled === base)
   }
+
+  test("packChunks assembles text with the same boundaries as packSequences") {
+    val withText = docs.withColumn("text", concat(lit("d"), $"doc_id"))
+    val chunks = Packing.packChunks(withText, 1000L, sep = "|")
+      .collect().map(c => ((c.source, c.chunk_id), (c.n_docs, c.n_chars, c.text))).toMap
+    assert(chunks(("s1", 0L)) === ((2L, 900L, "d1|d2")))
+    assert(chunks(("s1", 1L)) === ((1L, 200L, "d3")))
+    assert(chunks(("s1", 2L)) === ((1L, 1500L, "d4"))) // oversize doc alone
+    assert(chunks(("s1", 3L)) === ((1L, 10L, "d5")))
+    assert(chunks(("s2", 0L)) === ((1L, 1000L, "d9")))
+    assert(chunks(("s2", 1L)) === ((1L, 1L, "d10")))
+    // boundary agreement with packSequences on the same input
+    val seqChunks = Packing.packSequences(docs, 1000L).collect()
+      .groupBy(p => (p.source, p.chunk_id)).view.mapValues(_.length.toLong).toMap
+    assert(chunks.view.mapValues(_._1).toMap === seqChunks)
+  }
 }
 
 /** Randomized agreement with brute-force references: the operators'
