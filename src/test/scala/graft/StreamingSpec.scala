@@ -131,4 +131,60 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("stream-stream interval join: buffered rows are ACTUALLY evicted (numRowsRemoved > 0)") {
+    // direct state-store evidence for the e_stream_range_join shape: the
+    // watermark + time-range condition is what makes both sides' join
+    // buffers droppable. Batch 1 = matching click/purchase pairs at t0
+    // plus far-future watermark advancers on BOTH streams; batch 2 = more
+    // advancers — its end-of-batch cleanup runs with the watermark from
+    // batch 1 (t0 + ~99h), far past every t0 row's survival horizon.
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val staged = java.nio.file.Files.createTempDirectory("graft-ssj-metrics").toString
+    val epoch = 1704067200L
+    def mkBatch(rows: Seq[(String, Long, Long)], name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ssj-tmp").toString
+      rows.toDF("event_type", "user_id", "sec")
+        .select(col("event_type"), col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(staged, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime); ()
+    }
+    val far = epoch + 100L * 3600
+    val m0 = System.currentTimeMillis() - 120000
+    mkBatch((1L to 5L).map(u => ("purchase", u, epoch)) ++
+            (1L to 5L).map(u => ("click", u, epoch + 600)) ++
+            Seq(("click", -1L, far), ("purchase", -2L, far)), "b1.parquet", m0)
+    mkBatch(Seq(("click", -3L, far + 3600), ("purchase", -4L, far + 3600)),
+      "b2.parquet", m0 + 10000)
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def side(typ: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .where(col("event_type") === typ)
+    val clicks = side("click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val q = clicks.join(purchases,
+        col("cu") === col("pu") && col("cts") >= col("pts") &&
+          col("cts") < col("pts") + expr("INTERVAL 2 HOURS"))
+      .select(col("cu").as("user_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_metrics_sink").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    val removed = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsRemoved).sum
+    q.stop()
+    assert(removed > 0, "join state reported zero evicted rows — buffers are unbounded")
+    val got = spark.table("ssj_metrics_sink").where(col("user_id") > 0)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L, 4L, 5L)) // each pair matched exactly once
+  }
 }
