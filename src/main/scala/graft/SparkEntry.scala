@@ -493,6 +493,32 @@ object SparkEntry {
         .toDF().orderBy("source", "doc_id")
     }),
 
+    "p_curate_pack" -> ((spark, dir) => {
+      // CAPSTONE composition — the training-data curation pipeline end to
+      // end in ONE query: LSH near-dup keep-one (memoized cluster table)
+      // -> deterministic per-language stratified downsampling (mix32 coin)
+      // -> greedy sequence packing per source. Every stage is an operator
+      // whose oracle is individually green (d_keep_one,
+      // t_sample_stratified, t_pack_sequences); this row pins their
+      // COMPOSITION: the oracle chains the recursive-CTE closure, the
+      // mix32 filter, and the packing CTE over the same kept set.
+      implicit val s: SparkSession = spark
+      val docs3 = docs3Plus(dir)
+      val clusters = spark.read.parquet(clustersTable(spark, dir))
+      val survivors = docs3
+        .join(clusters, docs3("doc_id") === clusters("id"), "left")
+        .where(col("cluster").isNull || col("doc_id") === col("cluster"))
+      val permille = when(col("lang") === "en", lit(250L))
+        .when(col("lang") === "de", lit(500L))
+        .when(col("lang") === "es", lit(750L))
+        .otherwise(lit(1000L))
+      val kept = survivors.where(TextOps.keepSample(col("doc_id"), permille))
+        .select(col("source"), col("doc_id").cast(LongType).as("doc_id"),
+          col("n_chars"))
+      Packing.packSequences(kept, capacity = 1000L)
+        .toDF().orderBy("source", "doc_id")
+    }),
+
     "t_pack_chunks" -> ((spark, dir) => {
       // the assembled chunks themselves: same greedy boundaries as
       // t_pack_sequences, text joined by U+001E in doc_id order, built
@@ -1792,6 +1818,60 @@ object SparkEntry {
         |             AND c.click_epoch >= p.purchase_epoch
         |             AND c.click_epoch < p.purchase_epoch + 7200
         |ORDER BY c.event_id, p.purchase_epoch, p.pcents""".stripMargin,
+
+    // the composed pipeline: d_keep_one's recursive closure -> the mix32
+    // stratified-sample coin -> the packing CTE, all over the SAME kept set
+    "p_curate_pack" ->
+      """WITH RECURSIVE
+        |dw AS (SELECT doc_id, words FROM (
+        |         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    w -> w <> '') AS words
+        |         FROM documents) WHERE len(words) >= 3),
+        |w AS (SELECT doc_id, words[i] AS word, i AS pos
+        |      FROM dw, UNNEST(range(1, len(words)+1)) AS t(i)),
+        |g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+        |      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |gs AS (SELECT DISTINCT doc_id, gram FROM g),
+        |sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY 1),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |      FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2),
+        |e0 AS (SELECT id_a, id_b
+        |       FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |       WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |          UNION SELECT id_b, id_a FROM e0),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+        |labels AS (SELECT id, LEAST(id, min(r)) AS cluster FROM reach GROUP BY id),
+        |keep1 AS (SELECT doc_id FROM dw
+        |          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)),
+        |mx AS (SELECT doc_id, xor(h3, h3 >> 13) AS mix FROM (
+        |        SELECT doc_id, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h3 FROM (
+        |          SELECT doc_id, (doc_id * 1664525) % 4294967296 AS h1 FROM documents))),
+        |kept AS (SELECT d.source, d.doc_id, d.n_chars
+        |         FROM documents d JOIN keep1 USING (doc_id) JOIN mx USING (doc_id)
+        |         WHERE mx.mix % 1000 < (CASE d.lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
+        |                                            WHEN 'es' THEN 750 ELSE 1000 END)),
+        |kr AS (SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM kept),
+        |pk AS (
+        |  SELECT source, doc_id, n_chars, rn, CAST(0 AS BIGINT) AS chunk_id,
+        |         n_chars AS cur
+        |  FROM kr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k.source, k.doc_id, k.n_chars, k.rn,
+        |         CASE WHEN pk.cur + k.n_chars > 1000 THEN pk.chunk_id + 1
+        |              ELSE pk.chunk_id END,
+        |         CASE WHEN pk.cur + k.n_chars > 1000 THEN k.n_chars
+        |              ELSE pk.cur + k.n_chars END
+        |  FROM pk JOIN kr k ON k.source = pk.source AND k.rn = pk.rn + 1)
+        |SELECT source, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(cur - n_chars AS BIGINT) AS offset_chars
+        |FROM pk ORDER BY source, doc_id""".stripMargin,
 
     // same chunk assignment as t_pack_sequences, then ordered string_agg
     // assembles each chunk — byte-equality on the packed text
