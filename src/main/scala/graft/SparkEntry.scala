@@ -1218,6 +1218,37 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "s_ann_recall" -> ((spark, dir) => {
+      // ANN quality EVALUATION as a judged operator: recall@10 of the LSH
+      // Hamming<=2 multi-probe lookup vs the exact top-10 over the same
+      // stored scaled vectors (same ScaledIntDot math on both sides), for
+      // 3 probe vectors — quantifying what the selectivity buys/costs.
+      // The whole measurement is SQL-expressible, so the oracle re-derives
+      // buckets, candidate sets, BOTH rankings, and the hit counts.
+      implicit val s: SparkSession = spark
+      import graft.functions.{ScaledIntDot, SignBucket}
+      val planes = 6; val probeBits = 2
+      val emb = t(dir, "embeddings")
+      val idx = annIndex(spark, dir, planes)
+      val per = Seq(1L, 5L, 9L).map { qid =>
+        val qd = emb.where(col("vec_id") === qid)
+          .select(col("embedding").cast(ArrayType(DoubleType))).head().getSeq[Double](0)
+        val buckets = SignBucket.probeBuckets(SignBucket.compute(qd.toArray, planes),
+          planes, probeBits)
+        val qlit = array(qd.map(v => lit(SignBucket.scaleComponent(v))): _*)
+        def top10(rel: DataFrame) = rel
+          .select(col("id").as("vec_id"), ScaledIntDot(col("sv"), qlit).as("d"))
+          .orderBy(desc("d"), col("vec_id")).limit(10).select("vec_id")
+        val lsh10 = top10(Similarity.openIndex(spark, idx, planes)
+          .where(col("bucket").isin(buckets: _*)))
+        val full10 = top10(Similarity.openIndex(spark, idx, planes))
+        full10.join(lsh10, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).cast(LongType).as("hits"))
+          .select(lit(qid).as("qid"), col("hits"), lit(10L).as("k"))
+      }
+      per.reduce(_.unionByName(_)).orderBy("qid")
+    }),
+
     "s_ann_ivf" -> ((spark, dir) => {
       // The IVF ANN scale path, oracle-checked END TO END INCLUDING TRAINING:
       // exact-integer Lloyd k-means (seeds by (mix32(id), id), integer L2
@@ -2383,6 +2414,41 @@ object SparkEntry {
         |SELECT sv.vec_id, CAST(sum(sv.x * qv.qx) AS BIGINT) AS dot_scaled
         |FROM sv JOIN qv ON qv.d = sv.d
         |WHERE sv.vec_id IN (SELECT vec_id FROM cand)
-        |GROUP BY 1 ORDER BY dot_scaled DESC, vec_id LIMIT 10""".stripMargin
+        |GROUP BY 1 ORDER BY dot_scaled DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same plane family as s_ann_lsh, extended to 3 probes with window
+    // ranks on BOTH the candidate and the full ranking -> per-probe hits
+    "s_ann_recall" ->
+      """WITH w AS (
+        |  SELECT p, d, (xor(h2, h2 >> 13) % 1000) - 500 AS wt FROM (
+        |    SELECT p, d, (xor(h1, h1 >> 16) * 747796405) % 4294967296 AS h2 FROM (
+        |      SELECT tp.range AS p, td.range AS d,
+        |             ((tp.range * 65537 + td.range + 17) * 1664525) % 4294967296 AS h1
+        |      FROM range(0, 6) tp, range(0, 64) td))),
+        |sv AS (SELECT vec_id, i - 1 AS d,
+        |              CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS x
+        |       FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+        |proj AS (SELECT vec_id, p, sum(x * wt) AS pr
+        |         FROM sv JOIN w ON w.d = sv.d GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY 1),
+        |probes AS (SELECT vec_id AS qid, bucket AS qb FROM bkt WHERE vec_id IN (1, 5, 9)),
+        |qv AS (SELECT vec_id AS qid, d, x AS qx FROM sv WHERE vec_id IN (1, 5, 9)),
+        |dots AS (SELECT q.qid, sv.vec_id, CAST(sum(sv.x * q.qx) AS BIGINT) AS dot
+        |         FROM sv JOIN qv q ON q.d = sv.d GROUP BY 1, 2),
+        |full10 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+        |  FROM dots) WHERE rn <= 10),
+        |cand AS (SELECT p.qid, b.vec_id FROM bkt b
+        |         JOIN probes p ON bit_count(xor(b.bucket, p.qb)) <= 2),
+        |lsh10 AS (SELECT qid, vec_id FROM (
+        |  SELECT d.qid, d.vec_id,
+        |         row_number() OVER (PARTITION BY d.qid ORDER BY d.dot DESC, d.vec_id) AS rn
+        |  FROM dots d JOIN cand c ON c.qid = d.qid AND c.vec_id = d.vec_id)
+        |  WHERE rn <= 10)
+        |SELECT f.qid, CAST(count(l.vec_id) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k
+        |FROM full10 f LEFT JOIN lsh10 l ON l.qid = f.qid AND l.vec_id = f.vec_id
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin
   )
 }
