@@ -597,6 +597,45 @@ object SparkEntry {
       spark.read.parquet(outDir).orderBy("event_id")
     }),
 
+    "q_pivot" -> ((spark, dir) => {
+      // PIVOT: per-user event-type counts as columns. The value list is
+      // EXPLICIT (pivot(col, values)) so the plan is a single partial+final
+      // aggregation — the no-list form adds a distinct-values collect job
+      // first, a driver round-trip a 10^12-row table cannot afford. Oracle
+      // = conditional aggregation (FILTER), the relational definition of
+      // pivot.
+      implicit val s: SparkSession = spark
+      t(dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").cast(LongType).as("click"),
+          col("error").cast(LongType).as("error"),
+          col("purchase").cast(LongType).as("purchase"),
+          col("signup").cast(LongType).as("signup"),
+          col("view").cast(LongType).as("view"))
+        .orderBy("user_id")
+    }),
+
+    "q_quantiles" -> ((spark, dir) => {
+      // EXACT quantiles (not approx_percentile): per-source p25/median/p75
+      // of n_chars via Spark's exact percentile aggregate. Both engines
+      // compute rank (n-1)*p with linear interpolation; on integer inputs
+      // at quarter fractions every interpolated value is an exact binary
+      // double, so the hash compare is safe. At 10^12 rows the exact form
+      // is for judged parity — approx_count_distinct-style sketches
+      // (approx_percentile) are the production default and trade this
+      // exactness for one pass.
+      implicit val s: SparkSession = spark
+      t(dir, "documents").groupBy("source").agg(
+          percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("median"),
+          percentile(col("n_chars"), lit(0.75)).as("p75"),
+          count(lit(1)).cast(LongType).as("n"))
+        .orderBy("source")
+    }),
+
     "q_events_hourly" -> ((spark, dir) => {
       implicit val s: SparkSession = spark
       t(dir, "events")
@@ -1971,6 +2010,26 @@ object SparkEntry {
         |SELECT source, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |       CAST(cur - n_chars AS BIGINT) AS offset_chars
         |FROM p ORDER BY source, doc_id""".stripMargin,
+
+    // pivot == conditional aggregation with an explicit column list
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // both engines interpolate at rank (n-1)*p; quarter fractions over
+    // integers are exact binary doubles
+    "q_quantiles" ->
+      """SELECT source,
+        |       quantile_cont(n_chars, 0.25) AS p25,
+        |       quantile_cont(n_chars, 0.5)  AS median,
+        |       quantile_cont(n_chars, 0.75) AS p75,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
