@@ -618,6 +618,22 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_unpivot" -> ((spark, dir) => {
+      // UNPIVOT (melt): the wide per-user counts back to long form —
+      // map-side only (each row fans out to 5, no shuffle beyond the
+      // pivot's own agg), dropping the zero cells the pivot manufactured.
+      // Oracle = the relational definition: UNION ALL of per-column
+      // selects.
+      implicit val s: SparkSession = spark
+      val wide = queries("q_pivot")(spark, dir)
+      wide.unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "n")
+        .where(col("n") > 0)
+        .select(col("user_id"), col("event_type"), col("n").cast(LongType).as("n"))
+        .orderBy("user_id", "event_type")
+    }),
+
     "q_quantiles" -> ((spark, dir) => {
       // EXACT quantiles (not approx_percentile): per-source p25/median/p75
       // of n_chars via Spark's exact percentile aggregate. Both engines
@@ -2020,6 +2036,25 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // unpivot == UNION ALL of per-column selects, zero cells dropped
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'click') AS click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS error,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |    count(*) FILTER (WHERE event_type = 'view') AS view
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT user_id, 'click' AS event_type, click AS n FROM p
+        |  UNION ALL SELECT user_id, 'error', error FROM p
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM p
+        |  UNION ALL SELECT user_id, 'signup', signup FROM p
+        |  UNION ALL SELECT user_id, 'view', view FROM p)
+        |SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+        |FROM u WHERE n > 0 ORDER BY user_id, event_type""".stripMargin,
 
     // both engines interpolate at rank (n-1)*p; quarter fractions over
     // integers are exact binary doubles

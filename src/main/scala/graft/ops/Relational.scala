@@ -32,7 +32,11 @@ object Relational {
    *
    * Cost: one shuffle + sort of |L| + |R| rows, linear per key — survives
    * any key cardinality / time-series length. Right rows must be unique per
-   * (key, ts) for deterministic output (pre-aggregate if not).
+   * (key, ts) for deterministic output (pre-aggregate if not), and carried
+   * value columns must be non-null on the right side: the carry-forward is
+   * `last(ignoreNulls)`, so a NULL right value is indistinguishable from
+   * "no row" and the previous value carries through it (COALESCE a sentinel
+   * before joining if NULL is meaningful).
    *
    * @param right     lookup table; its `valueCols` are carried onto left rows
    * @param keyCols   equi-join keys present in both inputs
