@@ -50,6 +50,9 @@ object Relational {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("__side") && !leftCols.contains("__ts"),
       "left input may not contain reserved columns __side/__ts")
+    val clash = valueCols.map(c => s"asof_$c").filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"left input already contains output column(s) ${clash.mkString(", ")} — rename before joining")
 
     val r = right.select(
       keyCols.map(col) ++

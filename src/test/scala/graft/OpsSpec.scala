@@ -148,6 +148,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(2000))
   }
 
+  test("asofJoin rejects a left input that already has the output column") {
+    val clashing = trades.withColumn("asof_px", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoin(clashing, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+    }
+    assert(e.getMessage.contains("asof_px"))
+  }
+
   private def intervals = Seq( // (key, start, end, tag) — end exclusive
     ("A", 10L, 30L, "i1"),   // spans buckets 1..2 at width 10
     ("A", 25L, 26L, "i2"),   // 1-unit interval inside one bucket
