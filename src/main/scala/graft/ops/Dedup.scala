@@ -299,7 +299,16 @@ object Dedup {
       // count is ALSO what materializes the lazy checkpoint above, so the
       // jump's self-join reads persisted blocks, never recomputes.
       val changed = upd.where(col("changed")).count()
-      labels = jumped.localCheckpoint()
+      // the jump result is checkpointed LAZILY too: localCheckpoint(eager =
+      // false) already wraps the jump in a concrete marked RDD (so the next
+      // round's two plan references share ONE computation and lineage is
+      // truncated), and its materialization fuses into the NEXT round's
+      // convergence count — the probe job computes neighbor-min THROUGH the
+      // jump in one driver action. An eager checkpoint here was a separate
+      // blocking job per round (round 6: 2 driver actions/round -> 1; the
+      // loop is driver-latency-bound at small per-round data, RUNS.md). The
+      // final round's labels materialize in the caller's first action.
+      labels = jumped.localCheckpoint(eager = false)
       converged = changed == 0
       iter += 1
     }

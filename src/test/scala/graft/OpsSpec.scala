@@ -671,10 +671,11 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(rounds <= 9, s"took $rounds rounds — pointer jumping regressed")
   }
 
-  test("a CC round costs at most 2 driver actions (probe fused into checkpoint job)") {
-    // round-4 verdict #3: eager-checkpoint + separate convergence count made
-    // each round 3 driver round-trips; the lazy checkpoint materialized by
-    // the count itself brings it to 2 (count-probe, jump checkpoint). AQE is
+  test("a CC round costs at most 1 driver action (jump checkpoint fused into next probe)") {
+    // round-4 verdict #3 brought eager-checkpoint + separate count from 3
+    // driver round-trips per round to 2; round 6 makes the jump checkpoint
+    // lazy as well, so each round is exactly ONE job (the convergence count,
+    // which materializes both lazy checkpoints transitively). AQE is
     // disabled here so one action == one job and the count is deterministic;
     // broadcast sides never appear (checkpointed LogicalRDDs have unknown,
     // i.e. huge, stats).
@@ -700,9 +701,9 @@ class DedupClusterSpec extends AnyFunSuite {
       org.apache.spark.sql.graftshim.Bridge.drainListenerBus(sc, 30000L)
       sc.removeSparkListener(listener)
       val n = jobs.get()
-      // 1 job for the edges checkpoint + 2 per round; +1 slack for engine
-      // internals — 3 per round must FAIL (that was the regression)
-      assert(n <= 2 * rounds + 2, s"$n jobs for $rounds rounds — probe not fused")
+      // 1 job for the edges checkpoint + 1 per round; +1 slack for engine
+      // internals — 2 per round must FAIL (that was the round-5 shape)
+      assert(n <= rounds + 2, s"$n jobs for $rounds rounds — jump checkpoint not fused")
       assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
         (1L to 17L).map(_ -> 1L).toMap)
     } finally {
