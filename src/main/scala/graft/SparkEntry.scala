@@ -1200,10 +1200,15 @@ object SparkEntry {
     // ---- text analysis ----------------------------------------------------
     "v_token_freq" -> ((spark, dir) => {
       // corpus-wide token-frequency check (TableChecks.tokenFrequencies:
-      // explode + two-phase count, shuffle sized by distinct tokens)
+      // explode + two-phase count, shuffle sized by distinct tokens). The
+      // raw split feeds the explode directly — the former words() filter was
+      // an interpreted CodegenFallback lambda per document; empty tokens
+      // (only possible with leading/trailing whitespace) are dropped AFTER
+      // the count instead, which cannot change any non-empty token's count.
       implicit val s: SparkSession = spark
-      val docs = t(dir, "documents").select(Dedup.words(col("text")).as("toks"))
+      val docs = t(dir, "documents").select(Dedup.rawWords(col("text")).as("toks"))
       TableChecks.tokenFrequencies(docs, "toks")
+        .where(col("token") =!= "")
         .orderBy(desc("cnt"), col("token"))
         .limit(50)
         .select(col("token"), col("cnt").cast(LongType).as("cnt"))
@@ -1212,10 +1217,12 @@ object SparkEntry {
     "v_oov_stats" -> ((spark, dir) => {
       // out-of-vocabulary scan (TableChecks.oovStats: single map-side pass,
       // array extrema fast path, no explode) over byte-length pseudo-tokens
-      // so the oracle is engine-exact (octet_length == strlen)
+      // so the oracle is engine-exact (octet_length == strlen). Byte lengths
+      // come from one compiled loop (WordByteLensX) — the former
+      // transform(words(...)) pair ran two interpreted lambdas per document.
       implicit val s: SparkSession = spark
       val docs = t(dir, "documents")
-        .select(transform(Dedup.words(col("text")), w => octet_length(w)).as("toks"))
+        .select(graft.functions.WordByteLensX(Dedup.rawWords(col("text"))).as("toks"))
       TableChecks.oovStats(docs, "toks", vocabSize = 12)
         .select(col("n_rows").cast(LongType).as("n_rows"),
           col("rows_with_oov").cast(LongType).as("rows_with_oov"),

@@ -175,7 +175,13 @@ private[functions] trait WordsArrayExpression extends UnaryExpression {
                            defaultLit: String): ExprCode = {
     val self = ctx.addReferenceObj("expr", this, getClass.getName)
     val childGen = child.genCode(ctx)
-    val unbox = if (castTo == "long") "(Long)" else s"($castTo)"
+    // primitives need a BOXED cast + auto-unbox: `(long)(Object)` is not a
+    // valid Java cast chain and janino rejects `(int) Object`
+    val unbox = castTo match {
+      case "long" => "(Long)"
+      case "int" => "(Integer)"
+      case other => s"($other)"
+    }
     ev.copy(code = code"""
       ${childGen.code}
       boolean ${ev.isNull} = ${childGen.isNull};

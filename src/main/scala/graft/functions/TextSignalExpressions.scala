@@ -167,3 +167,90 @@ object FingerprintX {
   import org.apache.spark.sql.graftshim.Bridge.{column, expression}
   def apply(words: Column): Column = column(FingerprintX(expression(words)))
 }
+
+/** UTF-8 byte lengths of the non-empty tokens of a raw `\s+`-split array in
+  * one loop — replaces `transform(filter(ws, length > 0), octet_length)`,
+  * two interpreted CodegenFallback HOFs per document on the OOV scan path.
+  * Empty/null tokens are dropped exactly like the filter did. */
+case class WordByteLensX(child: Expression) extends WordsArrayExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "word_byte_lens_x"
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getUTF8String(i).numBytes
+        if (b > 0) { out(m) = b; m += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genViaEval(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData", "null")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordByteLensX {
+  import org.apache.spark.sql.graftshim.Bridge.{column, expression}
+  def apply(words: Column): Column = column(WordByteLensX(expression(words)))
+}
+
+/** Count of out-of-vocabulary tokens in an integer token array — replaces
+  * `size(filter(t, x => x < 0 || x >= vocabSize))`, whose interpreted
+  * lambda disabled whole-stage codegen for the whole OOV aggregation stage.
+  * Null elements are skipped (the filter's null condition dropped them);
+  * result type matches `size` (int). Accepts int or long element types. */
+case class OovCountX(child: Expression, vocabSize: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int>/array<bigint>, got $other")
+    }
+  @transient private lazy val isLong =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "oov_count_x"
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = if (isLong) arr.getLong(i) else arr.getInt(i).toLong
+        if (x < 0L || x >= vocabSize.toLong) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("expr", this, getClass.getName)
+    val childGen = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      int ${ev.value} = -1;
+      if (!${ev.isNull}) {
+        ${ev.value} = (Integer) $self.nullSafeEval(${childGen.value});
+      }""")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object OovCountX {
+  import org.apache.spark.sql.graftshim.Bridge.{column, expression}
+  def apply(tokens: Column, vocabSize: Int): Column =
+    column(OovCountX(expression(tokens), vocabSize))
+}

@@ -223,6 +223,11 @@ object Similarity {
       .withColumn("sv", ScaleVec(col("vec")))
       .withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
       .withColumn("bucket", signBucket(col("vec"), planes))
+      .repartition(col("bucket")) // one writer task per bucket dir: the
+      // unrepartitioned write made EVERY scan task emit every bucket —
+      // tasks x 2^planes tiny files, written serially per task (round-6
+      // measured the single-input-task build spending its time opening 64
+      // files); same rationale as buildIndexIvf/buildIndexPrefixed
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeIndexMeta(df.sparkSession, path, Seq(
       "family" -> jstr("lsh_flat"), "planes" -> planes.toString,

@@ -67,10 +67,13 @@ object TableChecks {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
   /** Out-of-vocabulary stats: rows containing any token outside [0, vocabSize)
-    * plus the total bad-token count — single map-side pass, no explode. */
+    * plus the total bad-token count — single map-side pass, no explode. The
+    * bad-token count is a compiled loop (OovCountX): the previous
+    * `size(filter(...))` lambda was CodegenFallback and disabled whole-stage
+    * codegen for the entire aggregation stage (round-6 codegen hygiene). */
   def oovStats(df: DataFrame, tokensCol: String, vocabSize: Int): DataFrame = {
     val t = col(tokensCol)
-    val badCount = size(filter(t, x => x < 0 || x >= vocabSize))
+    val badCount = graft.functions.OovCountX(t, vocabSize)
     df.agg(
       count(lit(1)).as("n_rows"),
       sum(when(array_min(t) < 0 || array_max(t) >= vocabSize, 1).otherwise(0)).as("rows_with_oov"),

@@ -94,6 +94,27 @@ class TextSignalParitySpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(5).mkString("; "))
   }
 
+  test("WordByteLensX == transform(filter(len>0), octet_length) and OovCountX == size(filter(oov))") {
+    val df = fixtures.toDF("text")
+    val refLens = transform(filter(split(lower($"text"), "\\s+"),
+      w => length(w) > 0), w => octet_length(w))
+    val gotLens = graft.functions.WordByteLensX(Dedup.rawWords($"text"))
+    val badLens = df.select(gotLens.as("got"), refLens.as("want"), $"text")
+      .where(!($"got" <=> $"want")).collect()
+    assert(badLens.isEmpty, badLens.take(5).mkString("; "))
+    val vocab = 5
+    val refOov = size(filter(gotLens, x => x < 0 || x >= vocab))
+    val gotOov = graft.functions.OovCountX(gotLens, vocab)
+    val badOov = df.select(gotOov.as("got"), refOov.as("want"), $"text")
+      .where(!($"got" <=> $"want")).collect()
+    assert(badOov.isEmpty, badOov.take(5).mkString("; "))
+    // long-typed arrays go through the getLong branch
+    val longArr = Seq(Seq(1L, -2L, 99L), Seq.empty[Long]).toDF("toks")
+    val gotL = longArr.select(graft.functions.OovCountX($"toks", 10).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(gotL === Seq(2, 0))
+  }
+
   test("compiled text signals keep null-input parity with the HOF forms") {
     val df = Seq[Option[String]](None, Some("the la")).toDF("text")
     val rows = df.select(
