@@ -1483,10 +1483,22 @@ object SparkEntry {
       val withN = base.withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
       val a = withN.as("a"); val b = withN.as("b")
       val dot = ScaledIntDot(col("a.sv"), col("b.sv"))
+      // the exact threshold runs in Decimal(38) — ~10x the cost of a double
+      // multiply, and it used to run for EVERY positive-dot candidate pair.
+      // A conservative double prefilter (slack 1e-6 vs ~1e-15 accumulated
+      // double rounding over three multiplies of values <= 1e31) rejects the
+      // overwhelming majority of pairs cheaply and provably admits every
+      // pair the exact check accepts, so the exact Decimal conjunct — still
+      // the decider — now evaluates only near/above the boundary. Result
+      // set bit-identical (guide §1.2 step 2: per-task work, after the
+      // bucketed join shape is already right).
+      val dotD = col("dot").cast(DoubleType)
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"), dot.as("dot"),
           col("a.n2").as("na2"), col("b.n2").as("nb2"))
         .where(col("dot") > 0 &&
+          dotD * dotD * lit(25.0) >=
+            col("na2").cast(DoubleType) * col("nb2").cast(DoubleType) * lit(4.0 * (1 - 1e-6)) &&
           col("dot").cast(DecimalType(38, 0)) * col("dot") * lit(25) >=
           col("na2").cast(DecimalType(38, 0)) * col("nb2") * lit(4))
         .orderBy("id_a", "id_b")

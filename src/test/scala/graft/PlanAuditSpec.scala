@@ -177,9 +177,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-4 verdict #2: the LSH map stage carried a filter(split(...))
     // lambda and the shingle join-back carried slice/concat_ws transforms —
     // all replaced by compiled loops inside the custom expressions
+    // round 6 extends the pin to the last three compiled map stages
+    // (StopwordCountX / LangIdX / FingerprintX) plus the OOV/token-freq word
+    // paths (WordByteLensX / OovCountX / raw-split explode), so the
+    // no-interpreted-lambda claim now covers every judged map stage
     for (q <- Seq("d_neardup_lsh", "d_minhash_stats", "d_simhash", "d_jaccard_pairs",
         "d_decontaminate", "d_boilerplate", "t_sample_stratified", "t_repetition",
-        "v_source_quality")) {
+        "v_source_quality", "t_quality_signals", "t_langid_confusion",
+        "t_fingerprint", "v_token_freq", "v_oov_stats")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("lambdafunction"), s"$q plan has a HOF: ${plan.take(2000)}")
     }
