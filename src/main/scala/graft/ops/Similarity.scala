@@ -223,11 +223,15 @@ object Similarity {
       .withColumn("sv", ScaleVec(col("vec")))
       .withColumn("n2", ScaledIntDot(col("sv"), col("sv")))
       .withColumn("bucket", signBucket(col("vec"), planes))
-      .repartition(col("bucket")) // one writer task per bucket dir: the
-      // unrepartitioned write made EVERY scan task emit every bucket —
-      // tasks x 2^planes tiny files, written serially per task (round-6
-      // measured the single-input-task build spending its time opening 64
-      // files); same rationale as buildIndexIvf/buildIndexPrefixed
+      // NO pre-write repartition here, deliberately (round-6 measured both):
+      // adding repartition(bucket) — the buildIndexIvf/buildIndexPrefixed
+      // shape — cost +0.45 s at bench scale because the input is a single
+      // scan task (8 MB splits) and AQE coalesces the tiny shuffle back to
+      // one writer anyway, making it pure shuffle overhead. The flat index
+      // is the SMALL-plane-count form (2^planes dirs, bench planes=6); a
+      // cluster-scale caller with many scan tasks should repartition by
+      // bucket before building, or use buildIndexPrefixed, whose writer
+      // repartition is load-bearing (task x 2^16 files otherwise).
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeIndexMeta(df.sparkSession, path, Seq(
       "family" -> jstr("lsh_flat"), "planes" -> planes.toString,
