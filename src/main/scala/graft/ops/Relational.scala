@@ -50,6 +50,14 @@ object Relational {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("__side") && !leftCols.contains("__ts"),
       "left input may not contain reserved columns __side/__ts")
+    // ADVICE r05: the union used to silently CAST the left timestamp to the
+    // right timestamp's type — a Long-vs-Timestamp (or NTZ-vs-TZ) mismatch
+    // coerced values instead of erroring, and the output column's type
+    // differed from the input's. Mismatched domains must fail loudly.
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"asofJoin timestamp type mismatch: left $leftTs is " +
+        s"${left.schema(leftTs).dataType.simpleString} but right $rightTs is " +
+        s"${right.schema(rightTs).dataType.simpleString} — cast explicitly before joining")
     val clash = valueCols.map(c => s"asof_$c").filter(leftCols.contains)
     require(clash.isEmpty,
       s"left input already contains output column(s) ${clash.mkString(", ")} — rename before joining")
@@ -106,8 +114,12 @@ object Relational {
                 ptCol: String, startCol: String, endCol: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // ADVICE r05: no startCol/endCol carve-out — a points input carrying a
+    // column named like the interval bounds used to pass this guard and then
+    // die later with an ambiguous-reference AnalysisException, exactly the
+    // confusing failure the precondition exists to prevent
     val overlap = points.columns.toSet
-      .intersect(intervals.columns.toSet.diff(keyCols.toSet)) - startCol - endCol
+      .intersect(intervals.columns.toSet.diff(keyCols.toSet))
     require(overlap.isEmpty, s"non-key column collision: $overlap — alias before joining")
     require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
       "inputs may not contain the reserved column __b")

@@ -156,6 +156,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("asof_px"))
   }
 
+  test("asofJoin rejects mismatched timestamp types instead of silently coercing") {
+    // ADVICE r05: a long-vs-timestamp mismatch used to coerce (long -> epoch
+    // seconds) and change the output column's type; it must fail loudly
+    val tsQuotes = quotes.withColumn("qts", timestamp_seconds(col("qts")))
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoin(trades, tsQuotes, Seq("sym"), "tts", "qts", Seq("px"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   private def intervals = Seq( // (key, start, end, tag) — end exclusive
     ("A", 10L, 30L, "i1"),   // spans buckets 1..2 at width 10
     ("A", 25L, 26L, "i2"),   // 1-unit interval inside one bucket
@@ -170,6 +180,17 @@ class RelationalSpec extends AnyFunSuite {
     ("B", 99L, "p5"),  // last instant of i3
     ("C", 50L, "p6")   // no intervals for key
   ).toDF("k", "pt", "pid")
+
+  test("rangeJoin rejects a points input that carries the interval-bound names") {
+    // ADVICE r05: the old guard carved out startCol/endCol, so this input
+    // passed the require and failed later with an ambiguous-reference
+    // AnalysisException; it must fail fast with the alias message
+    val clashing = points.withColumn("s", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      Relational.rangeJoin(clashing, intervals, Seq("k"), "pt", "s", "e", 10L)
+    }
+    assert(e.getMessage.contains("alias before joining"))
+  }
 
   test("rangeJoin matches start-inclusive end-exclusive, once per pair") {
     val out = Relational.rangeJoin(points, intervals, Seq("k"), "pt", "s", "e", bucketWidth = 10L)
